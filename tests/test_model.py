@@ -1,0 +1,144 @@
+"""Core Vireo model: single-step and full-fit parity with the reference,
+plus ELBO-monotonicity property tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vireo_tpu.ops.counts import dense_counts
+from vireo_tpu.models.vireo import (VireoConfig, VireoState, init_state,
+                                    default_priors, em_step, fit_vb, Vireo)
+
+
+def _setup(small_data, reference, seed=3, ase=False, learn_GT=True,
+           gt_prior=None):
+    AD, DP, _ = small_data
+    n_var, n_cell = AD.shape
+    K = 3
+
+    np.random.seed(seed)
+    ref_model = reference.Vireo(n_cell=n_cell, n_var=n_var, n_donor=K,
+                                learn_GT=learn_GT, ASE_mode=ase,
+                                GT_prob_init=gt_prior)
+    ref_model.set_prior(GT_prior=gt_prior)
+
+    cfg = VireoConfig(n_var=n_var, n_cell=n_cell, n_donor=K,
+                      learn_GT=learn_GT, ASE_mode=ase)
+    np.random.seed(seed)
+    state = init_state(cfg, GT_prob_init=gt_prior, dtype=jnp.float64)
+    priors = default_priors(cfg, GT_prior=gt_prior, dtype=jnp.float64)
+
+    np.testing.assert_allclose(np.asarray(state.id_prob), ref_model.ID_prob,
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(state.gt_prob), ref_model.GT_prob,
+                               rtol=1e-12)
+    counts = dense_counts(AD, DP, dtype=jnp.float64)
+    return counts, cfg, state, priors, ref_model, AD.tocsc(), DP.tocsc()
+
+
+def _ref_one_iter(ref_model, AD, DP, update_theta=True):
+    if update_theta:
+        ref_model.update_theta_size(AD, DP)
+    if ref_model.learn_GT:
+        ref_model.update_GT_prob(AD, DP)
+    logLik_ID = ref_model.update_ID_prob(AD, DP)
+    return ref_model.get_ELBO(logLik_ID)
+
+
+def test_em_step_parity(small_data, reference):
+    counts, cfg, state, priors, ref_model, AD, DP = _setup(
+        small_data, reference)
+
+    for it in range(3):
+        ref_elbo = _ref_one_iter(ref_model, AD, DP)
+        state, loglik_id, elbo = em_step(counts, state, priors, cfg,
+                                         update_theta=True)
+        np.testing.assert_allclose(np.asarray(state.beta_mu),
+                                   ref_model.beta_mu, rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(state.beta_sum),
+                                   ref_model.beta_sum, rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(state.gt_prob),
+                                   ref_model.GT_prob, rtol=1e-7, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(state.id_prob),
+                                   ref_model.ID_prob, rtol=1e-7, atol=1e-12)
+        np.testing.assert_allclose(float(elbo), ref_elbo, rtol=1e-9)
+
+
+def test_em_step_parity_ase_mode(small_data, reference):
+    counts, cfg, state, priors, ref_model, AD, DP = _setup(
+        small_data, reference, ase=True)
+    for it in range(2):
+        ref_elbo = _ref_one_iter(ref_model, AD, DP)
+        state, _, elbo = em_step(counts, state, priors, cfg,
+                                 update_theta=True)
+        np.testing.assert_allclose(np.asarray(state.beta_mu),
+                                   ref_model.beta_mu, rtol=1e-9)
+        np.testing.assert_allclose(float(elbo), ref_elbo, rtol=1e-9)
+
+
+def test_em_step_delay_theta(small_data, reference):
+    counts, cfg, state, priors, ref_model, AD, DP = _setup(
+        small_data, reference, seed=7)
+    # delayed theta: first iteration must not touch beta
+    ref_elbo = _ref_one_iter(ref_model, AD, DP, update_theta=False)
+    state, _, elbo = em_step(counts, state, priors, cfg, update_theta=False)
+    np.testing.assert_allclose(np.asarray(state.beta_mu), ref_model.beta_mu,
+                               rtol=1e-12)
+    np.testing.assert_allclose(float(elbo), ref_elbo, rtol=1e-9)
+
+
+def test_fit_vb_matches_reference_fit(small_data, reference):
+    counts, cfg, state, priors, ref_model, AD, DP = _setup(
+        small_data, reference, seed=5)
+    ref_elbo_trace = ref_model._fit_VB(AD, DP, max_iter=30, min_iter=5,
+                                       epsilon_conv=1e-2,
+                                       delay_fit_theta=3, verbose=False)
+    res = fit_vb(counts, state, priors, cfg, max_iter=30, min_iter=5,
+                 epsilon_conv=1e-2, delay_fit_theta=3)
+    n_it = int(res.n_iter)
+    trace = np.asarray(res.elbo_trace)[:n_it]
+    # reference returns ELBO[:it] (drops the last executed iteration)
+    np.testing.assert_allclose(trace[:len(ref_elbo_trace)], ref_elbo_trace,
+                               rtol=1e-8)
+    assert n_it - 1 == len(ref_elbo_trace)
+    np.testing.assert_allclose(float(res.elbo_ref), ref_elbo_trace[-1],
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(res.state.id_prob),
+                               ref_model.ID_prob, rtol=1e-6, atol=1e-10)
+
+
+def test_fit_vb_learn_gt_false(small_data, reference):
+    AD, DP, _ = small_data
+    rng = np.random.RandomState(0)
+    gt_prior = rng.dirichlet([1] * 3, size=(AD.shape[0], 3))
+    counts, cfg, state, priors, ref_model, AD, DP = _setup(
+        small_data, reference, seed=9, learn_GT=False, gt_prior=gt_prior)
+    ref_trace = ref_model._fit_VB(AD, DP, max_iter=25, min_iter=5,
+                                  verbose=False)
+    res = fit_vb(counts, state, priors, cfg, max_iter=25, min_iter=5)
+    trace = np.asarray(res.elbo_trace)[:int(res.n_iter)]
+    np.testing.assert_allclose(trace[:len(ref_trace)], ref_trace, rtol=1e-8)
+
+
+def test_elbo_monotone_increasing(small_data):
+    AD, DP, _ = small_data
+    cfg = VireoConfig(n_var=AD.shape[0], n_cell=AD.shape[1], n_donor=3)
+    counts = dense_counts(AD, DP, dtype=jnp.float64)
+    rng = np.random.RandomState(42)
+    state = init_state(cfg, rng=rng, dtype=jnp.float64)
+    priors = default_priors(cfg, dtype=jnp.float64)
+    res = fit_vb(counts, state, priors, cfg, max_iter=50, min_iter=5)
+    trace = np.asarray(res.elbo_trace)[:int(res.n_iter)]
+    deltas = np.diff(trace)
+    assert (deltas > -1e-6).all(), f"ELBO decreased: {deltas.min()}"
+
+
+def test_vireo_class_api(small_data):
+    AD, DP, _ = small_data
+    model = Vireo(n_cell=AD.shape[1], n_var=AD.shape[0], n_donor=3,
+                  dtype=jnp.float64)
+    model.fit(AD, DP, max_iter=40)
+    assert model.ID_prob.shape == (AD.shape[1], 3)
+    np.testing.assert_allclose(model.ID_prob.sum(1), 1.0, rtol=1e-9)
+    np.testing.assert_allclose(model.GT_prob.sum(-1), 1.0, rtol=1e-9)
+    assert len(model.ELBO_) > 1

@@ -1,0 +1,210 @@
+"""Multi-initialization orchestrator for the Vireo model.
+
+Re-implements the reference wrapper
+(/root/reference/vireoSNP/utils/vireo_wrap.py:22-183) with a TPU-first
+execution model: the n_init random restarts run as ONE vmapped device
+call (instead of a multiprocessing.Pool of forked fits,
+vireo_wrap.py:74-83), followed by best-ELBO selection and a long refit.
+All mode-resolution branches (extra-donor search, subset/superset donor
+priors, doublet and ambient dispatch) are preserved host-side.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.counts import DenseCounts, SparseCounts, counts_from_scipy
+from ..ops.matching import optimal_match, donor_select
+from ..models.vireo import (Vireo, VireoConfig, init_state, default_priors,
+                            fit_vb)
+from ..models.doublet import predict_doublet
+from ..models.ambient import predit_ambient
+
+__all__ = ["vireo_wrap"]
+
+
+def _as_counts(AD, DP, dtype):
+    if isinstance(AD, (DenseCounts, SparseCounts)):
+        return AD
+    return counts_from_scipy(AD, DP, dtype=dtype)
+
+
+def _model_from_state(counts, cfg_kwargs, n_donor, learn_GT, state,
+                      GT_prior_use, dtype):
+    """Build a Vireo wrapper seeded with an existing state (no RNG draws)."""
+    m = Vireo(n_cell=counts.n_cell, n_var=counts.n_var, n_donor=n_donor,
+              learn_GT=learn_GT, dtype=dtype,
+              beta_mu_init=np.asarray(state.beta_mu),
+              beta_sum_init=np.asarray(state.beta_sum),
+              ID_prob_init=np.asarray(state.id_prob),
+              GT_prob_init=np.asarray(state.gt_prob), **cfg_kwargs)
+    m.set_prior(GT_prior=GT_prior_use)
+    return m
+
+
+def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
+               n_init=20, random_seed=None, check_doublet=True,
+               max_iter_init=20, delay_fit_theta=3, n_extra_donor=0,
+               extra_donor_mode="distance", check_ambient=False,
+               nproc=None, dtype=jnp.float32, verbose=True, **kwargs):
+    """Run vireo with multiple initializations; returns the reference's
+    result dict (vireo_wrap.py:170-183).
+
+    `nproc` is accepted for CLI parity and ignored (restarts are
+    vmapped on device). `kwargs` may carry model flags (ASE_mode,
+    fix_beta_sum, learn_theta, n_GT).
+    """
+    counts = _as_counts(AD, DP, dtype)
+
+    if learn_GT is False and n_extra_donor > 0:
+        print("Searching from extra donors only works with learn_GT")
+        n_extra_donor = 0
+
+    if n_donor is None:
+        if GT_prior is None:
+            raise ValueError("[vireo] Error: requiring n_donor or GT_prior.")
+        n_donor = GT_prior.shape[1]
+
+    if learn_GT is False and n_init > 1:
+        print("GT is fixed, so use a single initialization")
+        n_init = 1
+
+    if random_seed is not None:
+        np.random.seed(random_seed)
+    rng = np.random  # the reference draws from the global stream
+
+    GT_prior_use = None
+    n_donor_use = int(n_donor + n_extra_donor)
+    if GT_prior is not None and n_donor_use == GT_prior.shape[1]:
+        GT_prior_use = GT_prior.copy()
+    elif GT_prior is not None and n_donor_use < GT_prior.shape[1]:
+        GT_prior_use = GT_prior.copy()
+        n_donor_use = GT_prior.shape[1]
+
+    cfg_kwargs = dict(kwargs)
+    cfg = VireoConfig(n_var=counts.n_var, n_cell=counts.n_cell,
+                      n_donor=n_donor_use, learn_GT=learn_GT,
+                      **{k: v for k, v in cfg_kwargs.items()
+                         if k in ("n_GT", "learn_theta", "ASE_mode",
+                                  "fix_beta_sum")})
+    priors = default_priors(cfg, GT_prior=GT_prior_use, dtype=dtype)
+
+    # ---- warm restarts: one vmapped device call (vireo_wrap.py:64-87)
+    states = [init_state(cfg, GT_prob_init=GT_prior_use, rng=rng,
+                         dtype=dtype) for _ in range(n_init)]
+    batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    warm = jax.vmap(lambda st: fit_vb(
+        counts, st, priors, cfg, max_iter=max_iter_init, min_iter=5,
+        delay_fit_theta=delay_fit_theta))(batched)
+
+    binom_coeff = float(jax.device_get(counts.binom_coeff_sum()))
+    elbo_all = np.asarray(jax.device_get(warm.elbo_ref)) + binom_coeff
+    best = int(np.argmax(elbo_all))
+    best_state = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)[best]),
+                              warm.state)
+
+    modelCA = _model_from_state(counts, cfg_kwargs, n_donor_use, learn_GT,
+                                best_state, GT_prior_use, dtype)
+    modelCA.ELBO_ = np.asarray([elbo_all[best]])
+
+    # ---- long refit of the winner / extra-donor reduction
+    # (vireo_wrap.py:89-105)
+    if n_extra_donor == 0:
+        modelCA.fit(counts, min_iter=5, verbose=False)
+    else:
+        _ID_prob = donor_select(modelCA.GT_prob, modelCA.ID_prob, n_donor,
+                                mode=extra_donor_mode, verbose=verbose)
+        modelCA = Vireo(n_cell=counts.n_cell, n_var=counts.n_var,
+                        n_donor=n_donor, learn_GT=learn_GT,
+                        GT_prob_init=GT_prior_use, ID_prob_init=_ID_prob,
+                        beta_mu_init=modelCA.beta_mu,
+                        beta_sum_init=modelCA.beta_sum,
+                        dtype=dtype, **cfg_kwargs)
+        modelCA.set_prior(GT_prior=GT_prior_use)
+        modelCA.fit(counts, min_iter=5, delay_fit_theta=delay_fit_theta,
+                    verbose=False)
+
+    if verbose:
+        print("[vireo] lower bound ranges [%.1f, %.1f, %.1f]"
+              % (np.min(elbo_all), np.median(elbo_all), np.max(elbo_all)))
+
+    # ---- donor-subset prior: keep largest donors, refit fixed
+    # (vireo_wrap.py:111-119)
+    if GT_prior is not None and n_donor < GT_prior.shape[1]:
+        _donor_cnt = np.sum(modelCA.ID_prob, axis=0)
+        _donor_idx = np.argsort(_donor_cnt)[::-1]
+        GT_prior_use = GT_prior[:, _donor_idx[:n_donor], :]
+
+        modelCA = Vireo(n_cell=counts.n_cell, n_var=counts.n_var,
+                        n_donor=n_donor, learn_GT=False,
+                        GT_prob_init=GT_prior_use, dtype=dtype,
+                        **cfg_kwargs)
+        modelCA.set_prior(GT_prior=GT_prior_use)
+        modelCA.fit(counts, min_iter=20, verbose=False)
+
+    # ---- donor-superset prior: graft known donors into matched slots
+    # (vireo_wrap.py:121-136)
+    elif GT_prior is not None and n_donor > GT_prior.shape[1]:
+        GT_prior_use = modelCA.GT_prob.copy()
+        idx = optimal_match(GT_prior, GT_prior_use)[1]
+        GT_prior_use[:, idx, :] = GT_prior
+        _idx_order = np.append(idx, np.delete(np.arange(n_donor), idx))
+        GT_prior_use = GT_prior_use[:, _idx_order, :]
+        ID_prob_use = modelCA.ID_prob[:, _idx_order]
+
+        modelCA = Vireo(n_cell=counts.n_cell, n_var=counts.n_var,
+                        n_donor=n_donor, learn_GT=learn_GT,
+                        ID_prob_init=ID_prob_use,
+                        beta_mu_init=modelCA.beta_mu,
+                        beta_sum_init=modelCA.beta_sum,
+                        GT_prob_init=GT_prior_use, dtype=dtype,
+                        **cfg_kwargs)
+        modelCA.set_prior(GT_prior=GT_prior_use)
+        modelCA.fit(counts, min_iter=20, verbose=False)
+
+    if verbose:
+        print("[vireo] allelic rate mean and concentrations:")
+        print(np.round(modelCA.beta_mu, 3))
+        print(np.round(modelCA.beta_sum, 1))
+
+        print("[vireo] donor size before removing doublets:")
+        _donor_cnt = np.sum(modelCA.ID_prob, axis=0)
+        print("\t".join(["donor%d" % x for x in range(len(_donor_cnt))]))
+        print("\t".join(["%.0f" % x for x in _donor_cnt]))
+
+    # ---- doublet prediction (vireo_wrap.py:150-156)
+    n_donor_final = modelCA.n_donor
+    if check_doublet:
+        doublet_prob, ID_prob, doublet_LLR = predict_doublet(
+            modelCA, counts, None)
+    else:
+        ID_prob = modelCA.ID_prob
+        doublet_prob = np.zeros(
+            (counts.n_cell, int(n_donor_final * (n_donor_final - 1) / 2)))
+        doublet_LLR = np.zeros(counts.n_cell)
+
+    theta_shapes = np.append(modelCA.beta_mu * modelCA.beta_sum,
+                             (1 - modelCA.beta_mu) * modelCA.beta_sum,
+                             axis=0)
+
+    # ---- ambient RNA (vireo_wrap.py:161-168)
+    if check_ambient:
+        ambient_Psi, Psi_var, Psi_logLik_ratio = predit_ambient(
+            modelCA, counts, None)
+    else:
+        ambient_Psi, Psi_var, Psi_logLik_ratio = None, None, None
+
+    RV = {}
+    RV['ID_prob'] = np.asarray(ID_prob)
+    RV['GT_prob'] = modelCA.GT_prob
+    RV['doublet_LLR'] = np.asarray(doublet_LLR)
+    RV['doublet_prob'] = np.asarray(doublet_prob)
+    RV['theta_shapes'] = theta_shapes
+    RV['theta_mean'] = modelCA.beta_mu
+    RV['theta_sum'] = modelCA.beta_sum
+    RV['ambient_Psi'] = ambient_Psi
+    RV['Psi_var'] = Psi_var
+    RV['Psi_LLRatio'] = Psi_logLik_ratio
+    RV['LB_list'] = elbo_all
+    RV['LB_doublet'] = modelCA.ELBO_[-1]
+    return RV

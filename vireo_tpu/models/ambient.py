@@ -1,0 +1,140 @@
+"""Ambient-RNA fraction estimation: per-cell EM, vmapped across cells.
+
+Re-implements the reference's per-cell ambient estimator
+(/root/reference/vireoSNP/utils/vireo_doublet.py:139-273). The
+reference fans cells out over a multiprocessing.Pool with BLAS pinned
+to one thread; here the whole cell batch is one vmapped
+`lax.while_loop` on device.
+
+Flagged "still under development" upstream (vireo_doublet.py:214); kept
+at feature parity.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["fit_em_ambient_batch", "predit_ambient", "predict_ambient"]
+
+
+def _cell_em(ad, dp, theta_mat, psi0, n_mask, max_iter, min_iter,
+             epsilon_conv):
+    """EM for one cell's donor-mixture fraction psi
+    (vireo_doublet.py:139-210). ad/dp: (n_var,), theta_mat: (n_var, K).
+    """
+    bd = dp - ad
+    K = theta_mat.shape[1]
+    dtype = theta_mat.dtype
+    eps = jnp.asarray(epsilon_conv, dtype)
+
+    def loglik_of(theta_vct):
+        safe = jnp.clip(theta_vct, 1e-300, 1.0 - 1e-15)
+        return jnp.sum(jnp.where(ad > 0, ad * jnp.log(safe), 0.0)
+                       + jnp.where(bd > 0, bd * jnp.log1p(-safe), 0.0))
+
+    def body(carry):
+        it, psi, prev, curr = carry
+        # donor masking after warm-up (vireo_doublet.py:150-154)
+        if n_mask > 0:
+            rank = jnp.argsort(jnp.argsort(psi))
+            mask = (rank < n_mask) & (it >= min_iter - 3)
+        else:
+            mask = jnp.zeros((K,), bool)
+
+        Z1 = theta_mat * psi[None, :]
+        Z1 = jnp.where(mask[None, :], 0.0, Z1)
+        Z1 = Z1 / jnp.sum(Z1, axis=1, keepdims=True)
+        Z0 = (1.0 - theta_mat) * psi[None, :]
+        Z0 = jnp.where(mask[None, :], 0.0, Z0)
+        Z0 = Z0 / jnp.sum(Z0, axis=1, keepdims=True)
+
+        psi_raw = ad @ Z1 + bd @ Z0
+        psi = psi_raw / jnp.sum(psi_raw)
+
+        ll = loglik_of(theta_mat @ psi)
+        return (it + 1, psi, curr, ll)
+
+    def cond(carry):
+        it, psi, prev, curr = carry
+        delta = curr - prev
+        breaked = (it - 1 > min_iter) & (delta >= 0) & (delta < eps)
+        return ~((it >= max_iter) | breaked)
+
+    neg_inf = jnp.asarray(-jnp.inf, dtype)
+    it, psi, prev, curr = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0), psi0, neg_inf, neg_inf))
+
+    # Cramér–Rao variance bound via Fisher information
+    # (vireo_doublet.py:184-193)
+    theta_vct = (theta_mat @ psi)[:, None]
+    fisher = jnp.sum((theta_mat / theta_vct) ** 2 * ad[:, None]
+                     + (theta_mat / (1.0 - theta_vct)) ** 2 * bd[:, None],
+                     axis=0)
+    var_cr = 1.0 / fisher
+
+    # LR against the single-donor null (all mass on argmax psi;
+    # vireo_doublet.py:195-206 with min_p=0)
+    best = jnp.argmax(psi)
+    ll_null = loglik_of(theta_mat[:, best])
+    ll_ratio = curr - ll_null
+
+    return psi, var_cr, ll_ratio
+
+
+@partial(jax.jit, static_argnames=("n_mask", "max_iter", "min_iter"))
+def fit_em_ambient_batch(AD_cells, DP_cells, theta_mat, psi0, n_mask=0,
+                         max_iter=200, min_iter=20, epsilon_conv=1e-3):
+    """Vmapped per-cell ambient EM.
+
+    AD_cells/DP_cells: (n_cell, n_var) dense slices; psi0: (n_cell, K).
+    Returns (Psi (n_cell, K), Psi_var (n_cell, K), LLR (n_cell,)).
+    """
+    return jax.vmap(
+        lambda a, d, p: _cell_em(a, d, theta_mat, p, n_mask,
+                                 max_iter, min_iter, epsilon_conv)
+    )(AD_cells, DP_cells, psi0)
+
+
+def predit_ambient(vobj, AD, DP, nproc=None, min_ELBO_gain=None, rng=None):
+    """Predict per-cell ambient-RNA donor fractions
+    (vireo_doublet.py:213-273). `nproc` is accepted for API parity and
+    ignored — the batch is one device call.
+    """
+    import timeit
+    from .variant_select import variant_ELBO_gain
+    start = timeit.default_timer()
+    if rng is None:
+        rng = np.random
+
+    counts = vobj._as_counts(AD, DP)
+    theta_mat = np.tensordot(vobj.GT_prob, vobj.beta_mu[0, :], axes=(2, 0))
+
+    if min_ELBO_gain is None:
+        min_ELBO_gain = np.sqrt(counts.n_cell) / 3.0
+    gain = variant_ELBO_gain(counts, vobj.ID_prob)
+    snp_idx = np.asarray(gain) >= min_ELBO_gain
+    print("[vireo] %d out %d SNPs selected for ambient RNA detection: "
+          "ELBO_gain > %.1f" % (snp_idx.sum(), len(snp_idx), min_ELBO_gain))
+
+    dense = counts.densify()
+    ad_sel = np.asarray(dense.ad)[snp_idx, :].T   # (n_cell, n_sel)
+    dp_sel = np.asarray(dense.dp)[snp_idx, :].T
+    theta_sel = theta_mat[snp_idx, :]
+
+    K = theta_mat.shape[1]
+    psi0 = rng.dirichlet([1.0] * K, size=counts.n_cell)
+
+    dtype = np.asarray(dense.ad).dtype
+    Psi, Psi_var, Psi_llr = fit_em_ambient_batch(
+        jnp.asarray(ad_sel, dtype), jnp.asarray(dp_sel, dtype),
+        jnp.asarray(theta_sel, dtype), jnp.asarray(psi0, dtype))
+
+    stop = timeit.default_timer()
+    print('[vireo] Ambient RNA time: %.1f sec' % (stop - start))
+    return np.asarray(Psi), np.asarray(Psi_var), np.asarray(Psi_llr)
+
+
+# preferred (correctly spelled) alias
+predict_ambient = predit_ambient

@@ -1,0 +1,219 @@
+"""Multi-chip execution: cell-sharded data-parallel EM over a Mesh.
+
+The reference's only parallelism is a multiprocessing.Pool over
+restarts plus manual --cellRange chunking (vireo_wrap.py:74-83,
+vireo.py:136-142). Here the scaling axis is the cell dimension,
+sharded across a `jax.sharding.Mesh`:
+
+- AD/DP (COO triplets grouped by owning shard) and ID_prob live
+  cell-sharded; GT_prob / theta are replicated;
+- each EM iteration psums the (n_var x K) sufficient statistics and
+  the scalar per-cell ELBO terms over the mesh (ICI collectives) —
+  ~n_var*K*8B per step, trivially small vs compute;
+- the E-step is purely local to each shard.
+
+Two paths are provided:
+1. `fit_vb_auto`: dense counts + NamedSharding constraints; XLA's SPMD
+   partitioner inserts the collectives (idiomatic pjit path).
+2. `sharded_fit_vb`: explicit shard_map over per-shard COO chunks with
+   lax.psum — the scalable sparse path, also used by dryrun.
+"""
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.counts import DenseCounts, SparseCounts
+from ..models.vireo import fit_vb, FitResult
+
+__all__ = ["make_mesh", "fit_vb_auto", "ShardedCounts",
+           "build_cell_sharded_coo", "sharded_fit_vb"]
+
+CELL_AXIS = "cells"
+
+
+def make_mesh(n_devices=None, devices=None, axis=CELL_AXIS):
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+# ---------------------------------------------------------------------
+# Path 1: dense counts, XLA auto-partitioning
+# ---------------------------------------------------------------------
+
+def fit_vb_auto(mesh, counts, state, priors, cfg, **fit_kwargs):
+    """Shard dense counts and ID_prob over cells, replicate parameters,
+    and let the SPMD partitioner insert the all-reduces."""
+    assert isinstance(counts, DenseCounts), "auto path expects DenseCounts"
+    cell_sh = NamedSharding(mesh, P(None, CELL_AXIS))      # (V, C)
+    id_sh = NamedSharding(mesh, P(CELL_AXIS, None))        # (C, K)
+    rep = NamedSharding(mesh, P())
+
+    counts = DenseCounts(jax.device_put(counts.ad, cell_sh),
+                         jax.device_put(counts.dp, cell_sh))
+    state = dataclasses.replace(
+        state,
+        id_prob=jax.device_put(state.id_prob, id_sh),
+        gt_prob=jax.device_put(state.gt_prob, rep),
+        beta_mu=jax.device_put(state.beta_mu, rep),
+        beta_sum=jax.device_put(state.beta_sum, rep))
+    priors = jax.tree.map(lambda x: jax.device_put(x, rep), priors)
+    return fit_vb(counts, state, priors, cfg, **fit_kwargs)
+
+
+# ---------------------------------------------------------------------
+# Path 2: explicit shard_map over per-shard COO chunks
+# ---------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ShardedCounts:
+    """A shard-local Counts whose variant-side reductions psum over the
+    mesh axis. Valid only inside shard_map/pjit with that axis bound."""
+    local: SparseCounts
+    axis: str = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_var(self):
+        return self.local.n_var
+
+    @property
+    def n_cell(self):
+        return self.local.n_cell
+
+    def suff_stats(self, W):
+        S1, SS = self.local.suff_stats(W)
+        return jax.lax.psum((S1, SS), self.axis)
+
+    def cell_loglik(self, Wa, Wd):
+        return self.local.cell_loglik(Wa, Wd)
+
+    def binom_coeff_sum(self):
+        return jax.lax.psum(self.local.binom_coeff_sum(), self.axis)
+
+    def row_sums(self):
+        a, d = self.local.row_sums()
+        return jax.lax.psum((a, d), self.axis)
+
+    def n_vars_per_cell(self):
+        return self.local.n_vars_per_cell()
+
+
+def build_cell_sharded_coo(AD, DP, n_shards, dtype=np.float32,
+                           pad_multiple=1024):
+    """Host-side: split cells into `n_shards` equal ranges and pack each
+    range's COO triplets (local cell indices) into equal-size padded
+    blocks, concatenated so an even nnz-axis sharding gives each device
+    exactly its own cells.
+
+    Returns (arrays dict, meta dict).
+    """
+    import scipy.sparse as sp
+    A = sp.csc_matrix(AD)
+    D = sp.csc_matrix(DP)
+    n_var, n_cell = A.shape
+    c_local = -(-n_cell // n_shards)          # cells per shard (padded)
+    n_cell_pad = c_local * n_shards
+
+    # per-shard COO extraction
+    blocks = []
+    max_nnz = 0
+    for s in range(n_shards):
+        lo, hi = s * c_local, min((s + 1) * c_local, n_cell)
+        Ab = sp.coo_matrix(A[:, lo:hi])
+        Db = sp.coo_matrix(D[:, lo:hi])
+        Du = sp.csr_matrix(
+            (np.ones_like(Ab.data), (Ab.row, Ab.col)),
+            shape=(n_var, hi - lo)) + sp.csr_matrix(
+            (np.ones_like(Db.data), (Db.row, Db.col)),
+            shape=(n_var, hi - lo))
+        U = Du.tocoo()
+        rows, cols = U.row.astype(np.int64), U.col.astype(np.int64)
+        a = np.asarray(sp.csr_matrix(Ab)[rows, cols]).reshape(-1)
+        d = np.asarray(sp.csr_matrix(Db)[rows, cols]).reshape(-1)
+        blocks.append((rows, cols, a, d))
+        max_nnz = max(max_nnz, len(rows))
+
+    nnz_pad = -(-max(max_nnz, 1) // pad_multiple) * pad_multiple
+
+    def pack(order_key):
+        out = {k: [] for k in ("rows", "cols", "ad", "dp")}
+        for rows, cols, a, d in blocks:
+            order = (np.lexsort((cols, rows)) if order_key == "row"
+                     else np.lexsort((rows, cols)))
+            r = np.zeros(nnz_pad, np.int32)
+            c = np.zeros(nnz_pad, np.int32)
+            av = np.zeros(nnz_pad, dtype)
+            dv = np.zeros(nnz_pad, dtype)
+            n = len(rows)
+            r[:n] = rows[order]
+            c[:n] = cols[order]
+            av[:n] = a[order]
+            dv[:n] = d[order]
+            out["rows"].append(r)
+            out["cols"].append(c)
+            out["ad"].append(av)
+            out["dp"].append(dv)
+        return {k: np.concatenate(v) for k, v in out.items()}
+
+    by_row = pack("row")
+    by_col = pack("col")
+    arrays = dict(
+        rows_r=by_row["rows"], cols_r=by_row["cols"],
+        ad_r=by_row["ad"], dp_r=by_row["dp"],
+        rows_c=by_col["rows"], cols_c=by_col["cols"],
+        ad_c=by_col["ad"], dp_c=by_col["dp"],
+    )
+    meta = dict(n_var=n_var, n_cell=n_cell, n_cell_pad=n_cell_pad,
+                c_local=c_local, n_shards=n_shards, nnz_pad=nnz_pad)
+    return arrays, meta
+
+
+def sharded_fit_vb(mesh, arrays, meta, state, priors, cfg, **fit_kwargs):
+    """shard_map the full VB fit over cell-sharded COO chunks.
+
+    `state.id_prob` must be (n_cell_pad, K); padded cells carry zero
+    counts and contribute exactly zero to the ELBO.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    c_local = meta["c_local"]
+    n_var = meta["n_var"]
+    axis = CELL_AXIS
+
+    coo_spec = P(axis)
+    in_specs = (
+        {k: coo_spec for k in arrays},
+        # state: id_prob cell-sharded, the rest replicated
+        dataclasses.replace(
+            state,
+            id_prob=P(axis, None), gt_prob=P(), beta_mu=P(), beta_sum=P()),
+        jax.tree.map(lambda _: P(), priors),
+    )
+    out_specs = FitResult(
+        state=dataclasses.replace(
+            state,
+            id_prob=P(axis, None), gt_prob=P(), beta_mu=P(), beta_sum=P()),
+        elbo_ref=P(), elbo_final=P(), n_iter=P(), elbo_trace=P())
+
+    def run(arrs, st, pr):
+        local = SparseCounts(
+            rows_r=arrs["rows_r"], cols_r=arrs["cols_r"],
+            ad_r=arrs["ad_r"], dp_r=arrs["dp_r"],
+            rows_c=arrs["rows_c"], cols_c=arrs["cols_c"],
+            ad_c=arrs["ad_c"], dp_c=arrs["dp_c"],
+            shape=(n_var, c_local), nnz=meta["nnz_pad"])
+        sc = ShardedCounts(local=local, axis=axis)
+        return fit_vb(sc, st, pr, cfg, axis_name=axis, **fit_kwargs)
+
+    fn = shard_map(run, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)
+    arrays_dev = {k: jnp.asarray(v) for k, v in arrays.items()}
+    return fn(arrays_dev, state, priors)
