@@ -135,11 +135,12 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
         _donor_idx = np.argsort(_donor_cnt)[::-1]
         GT_prior_use = GT_prior[:, _donor_idx[:n_donor], :]
 
+        # note: the reference deliberately keeps the DEFAULT (uniform)
+        # GT prior here — only the init is pinned (vireo_wrap.py:116-119)
         modelCA = Vireo(n_cell=counts.n_cell, n_var=counts.n_var,
                         n_donor=n_donor, learn_GT=False,
                         GT_prob_init=GT_prior_use, dtype=dtype,
                         **cfg_kwargs)
-        modelCA.set_prior(GT_prior=GT_prior_use)
         modelCA.fit(counts, min_iter=20, verbose=False)
 
     # ---- donor-superset prior: graft known donors into matched slots

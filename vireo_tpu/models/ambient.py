@@ -75,10 +75,12 @@ def _cell_em(ad, dp, theta_mat, psi0, n_mask, max_iter, min_iter,
     var_cr = 1.0 / fisher
 
     # LR against the single-donor null (all mass on argmax psi;
-    # vireo_doublet.py:195-206 with min_p=0)
+    # vireo_doublet.py:195-206 with min_p=0). Like the reference, the
+    # reported fit log-likelihood is logLik[:it][-1] — the second-to-
+    # last executed iteration's value (`prev`).
     best = jnp.argmax(psi)
     ll_null = loglik_of(theta_mat[:, best])
-    ll_ratio = curr - ll_null
+    ll_ratio = prev - ll_null
 
     return psi, var_cr, ll_ratio
 

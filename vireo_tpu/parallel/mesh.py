@@ -182,7 +182,7 @@ def sharded_fit_vb(mesh, arrays, meta, state, priors, cfg, **fit_kwargs):
     `state.id_prob` must be (n_cell_pad, K); padded cells carry zero
     counts and contribute exactly zero to the ELBO.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     c_local = meta["c_local"]
     n_var = meta["n_var"]
@@ -214,6 +214,6 @@ def sharded_fit_vb(mesh, arrays, meta, state, priors, cfg, **fit_kwargs):
         return fit_vb(sc, st, pr, cfg, axis_name=axis, **fit_kwargs)
 
     fn = shard_map(run, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                   check_rep=False)
+                   check_vma=False)
     arrays_dev = {k: jnp.asarray(v) for k, v in arrays.items()}
     return fn(arrays_dev, state, priors)
