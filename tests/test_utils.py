@@ -1,0 +1,75 @@
+"""Model-selection sweep, checkpointing, and timing utilities."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from vireo_tpu.engine.select import sweep_n_donor, sweep_n_clone
+from vireo_tpu.utils import checkpoint as ckpt
+from vireo_tpu.utils.timing import PhaseTimer, throughput
+from vireo_tpu.models.vireo import VireoConfig, init_state, default_priors
+
+
+def test_sweep_n_donor_finds_truth(small_data):
+    AD, DP, donor = small_data
+    res = sweep_n_donor(AD, DP, n_donor_list=(2, 3), n_init=5,
+                        random_seed=3, dtype=jnp.float64, verbose=False)
+    assert set(res) == {2, 3, "best"}
+    assert res[2].shape == (5,)
+    # planted structure has 3 donors: K=3 should dominate K=2
+    assert res[3].max() > res[2].max()
+    assert res["best"] == 3
+
+
+def test_sweep_n_clone_runs(small_data):
+    AD, DP, _ = small_data
+    res = sweep_n_clone(AD, DP, n_clone_list=(2, 3), n_init=3,
+                        random_seed=4, dtype=jnp.float64, verbose=False)
+    assert res[2].shape == (3,)
+    assert res["best"] in (2, 3)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = VireoConfig(n_var=10, n_cell=8, n_donor=2)
+    rng = np.random.RandomState(0)
+    state = init_state(cfg, rng=rng, dtype=jnp.float64)
+    priors = default_priors(cfg, dtype=jnp.float64)
+
+    d = str(tmp_path)
+    ckpt.save_state(d, 3, state, priors, elbo_trace=np.arange(5.0),
+                    extra={"seed": 42})
+    ckpt.save_state(d, 7, state, priors)
+    assert ckpt.latest_step(d) == 7
+
+    st, pr, extras = ckpt.load_state(d, step=3, dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(st.id_prob),
+                               np.asarray(state.id_prob))
+    np.testing.assert_allclose(np.asarray(pr.gt_log),
+                               np.asarray(priors.gt_log))
+    np.testing.assert_array_equal(extras["elbo_trace"], np.arange(5.0))
+    assert int(extras["seed"]) == 42
+
+
+def test_rng_checkpoint_roundtrip(tmp_path):
+    d = str(tmp_path)
+    np.random.seed(5)
+    np.random.rand(3)
+    ckpt.save_rng(d)
+    a = np.random.rand(4)
+    ckpt.load_rng(d)
+    b = np.random.rand(4)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_phase_timer():
+    t = PhaseTimer()
+    with t.phase("load"):
+        pass
+    with t.phase("fit"):
+        pass
+    with t.phase("fit"):
+        pass
+    s = t.summary()
+    assert "load" in s and "fit" in s
+    tp = throughput(10, 100, 2.0)
+    assert tp["em_iters_per_s"] == 5.0
+    assert tp["cell_iters_per_s"] == 500.0

@@ -97,6 +97,11 @@ def main(argv=None):
     if plat:
         import jax
         jax.config.update("jax_platforms", plat)
+    cache_dir = os.environ.get("VIREO_COMPILE_CACHE")
+    if cache_dir:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     if argv is None:
         argv = sys.argv[1:]

@@ -1,1 +1,2 @@
 from . import wrap
+from . import select

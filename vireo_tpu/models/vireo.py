@@ -295,6 +295,41 @@ def fit_vb(counts, state, priors, cfg, max_iter=200, min_iter=5,
                      n_iter=it, elbo_trace=trace)
 
 
+@partial(jax.jit, static_argnames=("cfg", "n_iters", "axis_name"))
+def run_em_iters(counts, state, priors, cfg, n_iters, axis_name=None):
+    """Run exactly `n_iters` EM iterations (no convergence check).
+
+    Benchmark/throughput entry point: a fori_loop of em_step with all
+    updates enabled. Returns (state, last_elbo).
+    """
+    def body(i, carry):
+        st, _ = carry
+        st2, _, elbo = em_step(counts, st, priors, cfg, update_theta=True,
+                               axis_name=axis_name)
+        return (st2, elbo)
+
+    dtype = state.id_prob.dtype
+    return jax.lax.fori_loop(
+        0, n_iters, body, (state, jnp.asarray(-jnp.inf, dtype)))
+
+
+@partial(jax.jit, static_argnames=("cfg", "axis_name"))
+def run_em_iters_n(counts, state, priors, cfg, n_iters, axis_name=None):
+    """Like run_em_iters but with a *traced* iteration count, so one
+    compilation serves any n (useful when compiles are expensive, e.g.
+    over a remote-compile tunnel)."""
+    def body(i, carry):
+        st, _ = carry
+        st2, _, elbo = em_step(counts, st, priors, cfg, update_theta=True,
+                               axis_name=axis_name)
+        return (st2, elbo)
+
+    dtype = state.id_prob.dtype
+    return jax.lax.fori_loop(
+        0, n_iters, body, (state, jnp.asarray(-jnp.inf, dtype)),
+        unroll=1)
+
+
 class Vireo:
     """OO wrapper mirroring the reference `Vireo` class API
     (vireo_model.py:11-315) on top of the functional kernels.

@@ -53,17 +53,41 @@ class DenseCounts:
     def n_cell(self):
         return self.ad.shape[1]
 
+    @property
+    def _precision(self):
+        # On TPU, f32 matmul inputs are truncated to bf16 on the MXU by
+        # default; request full precision for f32/f64 counts so device
+        # EM trajectories match the CPU reference. bf16/int8 counts keep
+        # the fast default path.
+        if self.ad.dtype in (jnp.float32, jnp.float64):
+            return jax.lax.Precision.HIGHEST
+        return None
+
+    def _operand(self, x, like):
+        # int8 counts (half the HBM bytes of bf16) are cast to bf16 on
+        # the fly; XLA fuses the convert into the matmul read.
+        if x.dtype == jnp.int8:
+            return x.astype(jnp.bfloat16)
+        return x
+
     def suff_stats(self, W):
         """(AD @ W, DP @ W) for W of shape (n_cell, K) -> two (n_var, K)."""
         acc = W.dtype
-        return (jnp.dot(self.ad, W, preferred_element_type=acc),
-                jnp.dot(self.dp, W, preferred_element_type=acc))
+        p = self._precision
+        ad = self._operand(self.ad, W)
+        dp = self._operand(self.dp, W)
+        return (jnp.dot(ad, W, preferred_element_type=acc, precision=p),
+                jnp.dot(dp, W, preferred_element_type=acc, precision=p))
 
     def cell_loglik(self, Wa, Wd):
         """AD.T @ Wa + DP.T @ Wd for (n_var, K) weights -> (n_cell, K)."""
         acc = Wa.dtype
-        return (jnp.dot(self.ad.T, Wa, preferred_element_type=acc)
-                + jnp.dot(self.dp.T, Wd, preferred_element_type=acc))
+        p = self._precision
+        ad = self._operand(self.ad, Wa)
+        dp = self._operand(self.dp, Wa)
+        return (jnp.dot(ad.T, Wa, preferred_element_type=acc, precision=p)
+                + jnp.dot(dp.T, Wd, preferred_element_type=acc,
+                          precision=p))
 
     def binom_coeff_sum(self):
         """Sum of log C(DP, AD) over DP>0 entries (vireo_base.py:7-22)."""
@@ -145,11 +169,22 @@ class SparseCounts:
             (self.dp_c > 0).astype(jnp.int32), self.cols_c,
             num_segments=self.n_cell, indices_are_sorted=True)
 
-    def densify(self):
-        ad = jnp.zeros(self.shape, self.ad_r.dtype).at[
-            self.rows_r, self.cols_r].add(self.ad_r)
-        dp = jnp.zeros(self.shape, self.dp_r.dtype).at[
-            self.rows_r, self.cols_r].add(self.dp_r)
+    def densify(self, dtype=None):
+        """Scatter the COO triplets into dense (n_var, n_cell) arrays on
+        device without ever materializing a dense matrix on host.
+
+        `dtype=bfloat16` (counts <= 256 exact) or `int8` (counts clipped
+        to 127; half the HBM bytes) build the fast MXU representations.
+        """
+        dtype = dtype or self.ad_r.dtype
+        ad_v, dp_v = self.ad_r, self.dp_r
+        if dtype == jnp.int8:
+            ad_v = jnp.clip(ad_v, 0, 127)
+            dp_v = jnp.clip(dp_v, 0, 127)
+        ad = jnp.zeros(self.shape, dtype).at[
+            self.rows_r, self.cols_r].add(ad_v.astype(dtype))
+        dp = jnp.zeros(self.shape, dtype).at[
+            self.rows_r, self.cols_r].add(dp_v.astype(dtype))
         return DenseCounts(ad, dp)
 
 

@@ -1,1 +1,2 @@
 from . import synth
+from . import pool_bam

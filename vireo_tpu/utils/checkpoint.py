@@ -1,0 +1,100 @@
+"""Checkpoint/resume for long-running fits.
+
+The reference has no checkpointing (runs are minutes-long; SURVEY §5);
+at 100k+ cells with many restarts it becomes worthwhile. State is
+small — the posteriors, priors, ELBO trace and the host RNG — so a
+single .npz per checkpoint is sufficient and dependency-free; the
+orbax-style API (save/restore/latest_step) keeps call sites simple.
+"""
+
+import os
+import glob
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..models.vireo import VireoState, VireoPriors
+
+__all__ = ["save_state", "load_state", "latest_step", "save_rng",
+           "load_rng"]
+
+
+def _path(ckpt_dir, step):
+    return os.path.join(ckpt_dir, "vireo_ckpt_%08d.npz" % step)
+
+
+def save_state(ckpt_dir, step, state, priors=None, elbo_trace=None,
+               extra=None):
+    """Write a checkpoint atomically (tmp + rename)."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    payload = {
+        "beta_mu": np.asarray(state.beta_mu),
+        "beta_sum": np.asarray(state.beta_sum),
+        "gt_prob": np.asarray(state.gt_prob),
+        "id_prob": np.asarray(state.id_prob),
+    }
+    if priors is not None:
+        payload.update({
+            "prior_theta_s1": np.asarray(priors.theta_s1),
+            "prior_theta_s2": np.asarray(priors.theta_s2),
+            "prior_id_log": np.asarray(priors.id_log),
+            "prior_gt_log": np.asarray(priors.gt_log),
+        })
+    if elbo_trace is not None:
+        payload["elbo_trace"] = np.asarray(elbo_trace)
+    for k, v in (extra or {}).items():
+        payload["extra_" + k] = np.asarray(v)
+
+    path = _path(ckpt_dir, step)
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, **payload)
+    os.replace(tmp, path)
+    return path
+
+
+def latest_step(ckpt_dir):
+    """Highest checkpoint step in the directory, or None."""
+    paths = glob.glob(os.path.join(ckpt_dir, "vireo_ckpt_*.npz"))
+    if not paths:
+        return None
+    return max(int(os.path.basename(p)[11:-4]) for p in paths)
+
+
+def load_state(ckpt_dir, step=None, dtype=jnp.float32):
+    """Load (state, priors_or_None, dict_of_extras) from a checkpoint."""
+    if step is None:
+        step = latest_step(ckpt_dir)
+        if step is None:
+            raise FileNotFoundError("no checkpoints in %s" % ckpt_dir)
+    with np.load(_path(ckpt_dir, step)) as z:
+        state = VireoState(
+            beta_mu=jnp.asarray(z["beta_mu"], dtype),
+            beta_sum=jnp.asarray(z["beta_sum"], dtype),
+            gt_prob=jnp.asarray(z["gt_prob"], dtype),
+            id_prob=jnp.asarray(z["id_prob"], dtype))
+        priors = None
+        if "prior_theta_s1" in z:
+            priors = VireoPriors(
+                theta_s1=jnp.asarray(z["prior_theta_s1"], dtype),
+                theta_s2=jnp.asarray(z["prior_theta_s2"], dtype),
+                id_log=jnp.asarray(z["prior_id_log"], dtype),
+                gt_log=jnp.asarray(z["prior_gt_log"], dtype))
+        extras = {k[6:]: z[k] for k in z.files if k.startswith("extra_")}
+        if "elbo_trace" in z:
+            extras["elbo_trace"] = z["elbo_trace"]
+    return state, priors, extras
+
+
+def save_rng(ckpt_dir, name="rng_state"):
+    """Persist the numpy global RNG (restart-stream reproducibility)."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    s = np.random.get_state()
+    np.savez(os.path.join(ckpt_dir, name + ".npz"),
+             name=np.array(s[0]), keys=s[1], pos=np.array(s[2]),
+             has_gauss=np.array(s[3]), cached=np.array(s[4]))
+
+
+def load_rng(ckpt_dir, name="rng_state"):
+    with np.load(os.path.join(ckpt_dir, name + ".npz")) as z:
+        np.random.set_state((str(z["name"]), z["keys"], int(z["pos"]),
+                             int(z["has_gauss"]), float(z["cached"])))
