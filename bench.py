@@ -69,11 +69,23 @@ def tpu_rate(n_var, n_cell, n_donor, n_iters, seed=1):
     rng = np.random.RandomState(seed)
     state = init_state(cfg, rng=rng, dtype=jnp.float32)
     priors = default_priors(cfg, dtype=jnp.float32)
+
+    # fused single-pass kernel: reads half the HBM bytes but pays MXU
+    # lane waste at K=16; slower than the roofline-bound unfused path
+    # for a single model (see benchmarks/RESULTS.md) — opt-in.
+    fused = use_dense and os.environ.get("BENCH_FUSED", "0") == "1"
+    if fused:
+        from vireo_tpu.models.vireo_fused import (prepare_fused,
+                                                  run_fused_iters_n)
+        data = prepare_fused(counts)
     t_build = time.time() - t0
 
     def run(n):
         t0 = time.time()
-        st, elbo = run_em_iters_n(counts, state, priors, cfg, n)
+        if fused:
+            st, elbo = run_fused_iters_n(data, state, priors, cfg, n)
+        else:
+            st, elbo = run_em_iters_n(counts, state, priors, cfg, n)
         e = float(elbo)  # forces execution + result fetch
         return time.time() - t0, e
 
@@ -83,7 +95,9 @@ def tpu_rate(n_var, n_cell, n_donor, n_iters, seed=1):
     t_long, elbo = run(n_short + n_iters)
     per_iter = (t_long - t_short) / n_iters
     dev = jax.devices()[0]
-    print(f"[bench] device={dev} layout={'dense_int8' if use_dense else 'coo'}"
+    layout = ("fused_int8" if fused
+              else ("dense_int8" if use_dense else "coo"))
+    print(f"[bench] device={dev} layout={layout}"
           f" build={t_build:.1f}s compile={t_compile:.1f}s"
           f" per_iter={per_iter*1000:.2f}ms elbo={elbo:.1f}",
           file=sys.stderr)

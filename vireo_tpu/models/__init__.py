@@ -1,4 +1,5 @@
 from . import vireo
+from . import vireo_fused
 from . import doublet
 from . import bmm
 from . import bulk

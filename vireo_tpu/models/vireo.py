@@ -190,19 +190,15 @@ def _theta_suff(S, gt_prob, ase_mode):
     return jnp.sum(per_var, axis=0, keepdims=True)
 
 
-def em_step(counts, state, priors, cfg, update_theta, axis_name=None):
-    """One coordinate-ascent iteration; returns (state', loglik_id, elbo).
+def updates_from_stats(S1, SS, state, priors, cfg, update_theta):
+    """theta + GT coordinate updates given the sufficient statistics
+    S1 = AD @ ID_prob, SS = DP @ ID_prob (vireo_model.py:165-219).
 
-    Update order matches _fit_VB (vireo_model.py:257-264): theta (using
-    previous GT/ID posteriors), then GT (with fresh digammas), then ID,
-    then the ELBO on the refreshed posteriors. `update_theta` may be a
-    traced bool (implements `delay_fit_theta`).
-
-    When `axis_name` is set (shard_map over a cell-sharded mesh), the
-    per-cell ELBO terms are psum'd over that axis; the sufficient
-    statistics are already globally reduced by the Counts backend.
+    Returns (beta_mu, beta_sum, gt_prob, (Wfold_a, Wfold_d),
+    KL_GT + KL_theta) where the W matrices fold the reference's three
+    transposed spMMs per genotype category into two:
+    logLik_ID = AD.T @ Wfold_a + DP.T @ Wfold_d.
     """
-    S1, SS = counts.suff_stats(state.id_prob)            # (V, K) each
     S2 = SS - S1
 
     # --- theta update (vireo_model.py:165-185)
@@ -227,13 +223,37 @@ def em_step(counts, state, priors, cfg, update_theta, axis_name=None):
     else:
         gt_prob = state.gt_prob
 
-    # --- ID update (vireo_model.py:187-201), with the three transposed
-    # spMMs per genotype folded into a single two-weight contraction:
-    # logLik_ID = AD.T @ (Wa - Wb) + DP.T @ (Wb - Ws)
     Wa = jnp.sum(gt_prob * d1[:, None, :], axis=-1)   # (V, K)
     Wb = jnp.sum(gt_prob * d2[:, None, :], axis=-1)
     Ws = jnp.sum(gt_prob * ds[:, None, :], axis=-1)
-    loglik_id = counts.cell_loglik(Wa - Wb, Wb - Ws)      # (C, K)
+
+    KL_GT = kl_categorical(gt_prob, priors.gt_log)
+    s1 = beta_mu * beta_sum
+    s2 = (1.0 - beta_mu) * beta_sum
+    KL_theta = beta_entropy(s1, s2, priors.theta_s1, priors.theta_s2)
+
+    return beta_mu, beta_sum, gt_prob, (Wa - Wb, Wb - Ws), KL_GT + KL_theta
+
+
+def em_step(counts, state, priors, cfg, update_theta, axis_name=None):
+    """One coordinate-ascent iteration; returns (state', loglik_id, elbo).
+
+    Update order matches _fit_VB (vireo_model.py:257-264): theta (using
+    previous GT/ID posteriors), then GT (with fresh digammas), then ID,
+    then the ELBO on the refreshed posteriors. `update_theta` may be a
+    traced bool (implements `delay_fit_theta`).
+
+    When `axis_name` is set (shard_map over a cell-sharded mesh), the
+    per-cell ELBO terms are psum'd over that axis; the sufficient
+    statistics are already globally reduced by the Counts backend.
+    """
+    S1, SS = counts.suff_stats(state.id_prob)            # (V, K) each
+
+    beta_mu, beta_sum, gt_prob, (Wfa, Wfd), kl_params = \
+        updates_from_stats(S1, SS, state, priors, cfg, update_theta)
+
+    # --- ID update (vireo_model.py:187-201)
+    loglik_id = counts.cell_loglik(Wfa, Wfd)              # (C, K)
     id_prob = softmax_from_loglik(loglik_id, priors.id_log, axis=-1)
 
     # --- ELBO (vireo_model.py:222-248)
@@ -242,11 +262,7 @@ def em_step(counts, state, priors, cfg, update_theta, axis_name=None):
     cell_terms = LB_p - KL_ID
     if axis_name is not None:
         cell_terms = jax.lax.psum(cell_terms, axis_name)
-    KL_GT = kl_categorical(gt_prob, priors.gt_log)
-    s1 = beta_mu * beta_sum
-    s2 = (1.0 - beta_mu) * beta_sum
-    KL_theta = beta_entropy(s1, s2, priors.theta_s1, priors.theta_s2)
-    elbo = cell_terms - KL_GT - KL_theta
+    elbo = cell_terms - kl_params
 
     new_state = VireoState(beta_mu=beta_mu, beta_sum=beta_sum,
                            gt_prob=gt_prob, id_prob=id_prob)

@@ -1,0 +1,152 @@
+"""Fused E-step + sufficient-statistics Pallas kernel.
+
+The dense EM iteration is HBM-bound: the unfused step reads AD and DP
+twice per iteration (once for the cell-side log-likelihood, once for
+the variant-side sufficient statistics) — ~12 GB/iter at 100k x 30k
+int8. This kernel restructures the iteration to carry (S1, SS) instead
+of ID_prob, so each iteration makes ONE pass over the count matrices:
+
+  per 128-cell block (grid step), with the block resident in VMEM:
+    loglik  = AD_blk.T @ Wa + DP_blk.T @ Wd          (cell E-step)
+    id_prob = softmax(loglik + log_prior)
+    S1     += AD_blk @ id_prob                        (next M-step stats)
+    SS     += DP_blk @ id_prob
+    lb_p   += sum(loglik * id_prob);  kl_id += KL(id_prob || prior)
+
+This is algebraically the exact reference update sequence
+(vireo_model.py:165-248) — theta/GT updates between passes consume the
+carried (S1, SS) — with half the HBM traffic.
+
+Count matrices are int8 (cast to bf16 into the MXU); accumulation and
+softmax are f32.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_estep_stats", "pad_to"]
+
+
+def pad_to(x, multiples, constant=0):
+    """Pad trailing dims of x up to the given multiples."""
+    pads = []
+    for dim, m in zip(x.shape, multiples):
+        target = -(-dim // m) * m
+        pads.append((0, target - dim))
+    if all(p == (0, 0) for p in pads):
+        return x
+    return jnp.pad(x, pads, constant_values=constant)
+
+
+def _kernel(ad_ref, dp_ref, w_ref, prior_ref, s_ref, id_ref, scal_ref,
+            *, K):
+    i = pl.program_id(0)
+
+    ad = ad_ref[:].astype(jnp.bfloat16)          # (V, CB)
+    dp = dp_ref[:].astype(jnp.bfloat16)
+    W = w_ref[:]                                  # (V, 2K) bf16
+
+    # cell-side E-step: loglik (CB, K), contract over variants
+    dn = (((0,), (0,)), ((), ()))
+    loglik = jax.lax.dot_general(ad, W[:, :K], dn,
+                                 preferred_element_type=jnp.float32)
+    loglik += jax.lax.dot_general(dp, W[:, K:], dn,
+                                  preferred_element_type=jnp.float32)
+
+    logp = loglik + prior_ref[:]                  # (CB, K) + (1, K)
+    logp -= jnp.max(logp, axis=-1, keepdims=True)
+    e = jnp.exp(logp)
+    id_prob = e / jnp.sum(e, axis=-1, keepdims=True)
+    id_ref[:] = id_prob
+
+    # variant-side sufficient statistics on the SAME resident block
+    idb = id_prob.astype(jnp.bfloat16)
+    s1 = jnp.dot(ad, idb, preferred_element_type=jnp.float32)   # (V, K)
+    ss = jnp.dot(dp, idb, preferred_element_type=jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        s_ref[:] = jnp.zeros_like(s_ref)
+        scal_ref[0, 0] = 0.0
+        scal_ref[0, 1] = 0.0
+
+    s_ref[:, :K] += s1
+    s_ref[:, K:] += ss
+
+    lb_p = jnp.sum(loglik * id_prob)
+    safe_log = jnp.log(jnp.where(id_prob > 0, id_prob, 1.0))
+    kl_id = jnp.sum(jnp.where(id_prob > 0,
+                              id_prob * (safe_log - prior_ref[:]), 0.0))
+    scal_ref[0, 0] = scal_ref[0, 0] + lb_p
+    scal_ref[0, 1] = scal_ref[0, 1] + kl_id
+
+
+@functools.partial(jax.jit, static_argnames=("cell_block", "interpret"))
+def fused_estep_stats(ad, dp, Wa, Wd, id_log_prior, cell_block=128,
+                      interpret=False):
+    """One fused pass over (ad, dp).
+
+    ad, dp: (V, C) int8/bf16, V and C already padded (V % 32 == 0,
+    C % cell_block == 0; padded entries must be zero).
+    Wa, Wd: (V, K) f32 weight matrices (digamma-folded; padded rows
+    need finite values — their counts are zero so they contribute 0).
+    id_log_prior: (1, K) f32.
+
+    Returns (S1 (V,K) f32, SS (V,K) f32, id_prob (C,K) f32,
+             lb_p scalar, kl_id scalar).
+    """
+    V, C = ad.shape
+    K = Wa.shape[1]
+    assert C % cell_block == 0, (C, cell_block)
+
+    W = jnp.concatenate([Wa, Wd], axis=1).astype(jnp.bfloat16)
+    prior = id_log_prior.astype(jnp.float32).reshape(1, K)
+
+    grid = (C // cell_block,)
+    out_shape = (
+        jax.ShapeDtypeStruct((V, 2 * K), jnp.float32),      # S
+        jax.ShapeDtypeStruct((C, K), jnp.float32),          # id_prob
+        jax.ShapeDtypeStruct((1, 2), jnp.float32),          # lb_p, kl_id
+    )
+    in_specs = [
+        pl.BlockSpec((V, cell_block), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((V, cell_block), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((V, 2 * K), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_specs = (
+        pl.BlockSpec((V, 2 * K), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((cell_block, K), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    )
+
+    flops = 4 * 2 * V * cell_block * K * grid[0]
+    bytes_accessed = (ad.size * ad.dtype.itemsize * 2
+                      + V * 2 * K * 4 + C * K * 4)
+    S, id_prob, scal = pl.pallas_call(
+        functools.partial(_kernel, K=K),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(flops=flops,
+                                      bytes_accessed=bytes_accessed,
+                                      transcendentals=C * K),
+        compiler_params=pltpu.CompilerParams(
+            # the resident (V, block) int8 panels + their bf16 casts
+            # exceed the default 16M scoped window; v5e has 128M VMEM
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(ad, dp, W, prior)
+
+    return S[:, :K], S[:, K:], id_prob, scal[0, 0], scal[0, 1]
