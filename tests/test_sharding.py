@@ -73,8 +73,43 @@ def test_auto_sharded_dense(small_data):
                                rtol=1e-7, atol=1e-10)
 
 
+def test_warm_restarts_auto(small_data):
+    from vireo_tpu.parallel.mesh import warm_restarts_auto
+    AD, DP, _ = small_data
+    mesh = make_mesh(N_DEV)
+    cfg = VireoConfig(n_var=AD.shape[0], n_cell=AD.shape[1], n_donor=3)
+    counts = dense_counts(AD, DP, dtype=jnp.float64)
+    rng = np.random.RandomState(4)
+    states = [init_state(cfg, rng=rng, dtype=jnp.float64)
+              for _ in range(4)]
+    batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    priors = default_priors(cfg, dtype=jnp.float64)
+
+    res_sh = warm_restarts_auto(mesh, counts, batched, priors, cfg,
+                                max_iter=10, min_iter=3)
+    res_1 = jax.vmap(lambda st: fit_vb(counts, st, priors, cfg,
+                                       max_iter=10, min_iter=3))(batched)
+    np.testing.assert_allclose(np.asarray(res_sh.elbo_final),
+                               np.asarray(res_1.elbo_final), rtol=1e-8)
+
+
 def test_graft_entry_dryrun():
     import sys
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as g
     g.dryrun_multichip(N_DEV)
+
+
+def test_vireo_wrap_on_mesh(small_data):
+    """Public wrap API with a mesh: results equal the unsharded wrap."""
+    from vireo_tpu.engine.wrap import vireo_wrap
+    AD, DP, _ = small_data
+    mesh = make_mesh(N_DEV)
+    kw = dict(n_donor=3, learn_GT=True, n_init=3, random_seed=23,
+              check_doublet=True, dtype=jnp.float64, verbose=False)
+    res_m = vireo_wrap(AD, DP, mesh=mesh, **kw)
+    res_1 = vireo_wrap(AD, DP, **kw)
+    np.testing.assert_allclose(res_m["ID_prob"], res_1["ID_prob"],
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(res_m["LB_doublet"], res_1["LB_doublet"],
+                               rtol=1e-8)

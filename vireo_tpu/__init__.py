@@ -14,6 +14,12 @@ the compute path here is pure-functional JAX, not NumPy objects.
 
 from .version import __version__
 
+# submodule aliases mirroring the reference's surface
+# (vireoSNP/__init__.py:3-5: `vcf`, `base`, `model`)
+from .io import vcf
+from . import base
+from .models import vireo as model
+
 from .ops.math import normalize, loglik_amplify, beta_entropy, get_binom_coeff
 from .ops.matching import match, optimal_match, donor_select, get_confusion
 from .ops.counts import Counts, dense_counts, sparse_counts, counts_from_scipy

@@ -46,15 +46,27 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
                n_init=20, random_seed=None, check_doublet=True,
                max_iter_init=20, delay_fit_theta=3, n_extra_donor=0,
                extra_donor_mode="distance", check_ambient=False,
-               nproc=None, dtype=jnp.float32, verbose=True, **kwargs):
+               nproc=None, dtype=jnp.float32, verbose=True, mesh=None,
+               **kwargs):
     """Run vireo with multiple initializations; returns the reference's
     result dict (vireo_wrap.py:170-183).
 
     `nproc` is accepted for CLI parity and ignored (restarts are
     vmapped on device). `kwargs` may carry model flags (ASE_mode,
     fix_beta_sum, learn_theta, n_GT).
+
+    `mesh`: optional `jax.sharding.Mesh` — dense counts and the cell
+    axis are sharded across it (sufficient statistics all-reduced each
+    iteration); XLA propagates the sharding through the refit and
+    doublet phases.
     """
     counts = _as_counts(AD, DP, dtype)
+    if mesh is not None and isinstance(counts, DenseCounts):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import CELL_AXIS
+        cell_sh = NamedSharding(mesh, P(None, CELL_AXIS))
+        counts = DenseCounts(jax.device_put(counts.ad, cell_sh),
+                             jax.device_put(counts.dp, cell_sh))
 
     if learn_GT is False and n_extra_donor > 0:
         print("Searching from extra donors only works with learn_GT")

@@ -410,6 +410,21 @@ class Vireo:
     def ID_prior(self):
         return np.exp(np.asarray(self.priors.id_log))
 
+    @property
+    def theta_s1(self):
+        """Beta concentration-1 of theta posterior (vireo_model.py:139)."""
+        return self.beta_mu * self.beta_sum
+
+    @property
+    def theta_s2(self):
+        """Beta concentration-2 of theta posterior (vireo_model.py:144)."""
+        return (1 - self.beta_mu) * self.beta_sum
+
+    @property
+    def ELBO_iters(self):
+        """Alias some notebooks use for the ELBO trace."""
+        return self.ELBO_
+
     def set_initial(self, beta_mu_init=None, beta_sum_init=None,
                     ID_prob_init=None, GT_prob_init=None):
         self.state = init_state(

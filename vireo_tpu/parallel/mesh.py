@@ -30,7 +30,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.counts import DenseCounts, SparseCounts
 from ..models.vireo import fit_vb, FitResult
 
-__all__ = ["make_mesh", "fit_vb_auto", "ShardedCounts",
+__all__ = ["make_mesh", "initialize_distributed", "fit_vb_auto",
+           "warm_restarts_auto", "ShardedCounts",
            "build_cell_sharded_coo", "sharded_fit_vb"]
 
 CELL_AXIS = "cells"
@@ -42,6 +43,27 @@ def make_mesh(n_devices=None, devices=None, axis=CELL_AXIS):
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis,))
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """Multi-host bring-up: `jax.distributed.initialize` with env-var
+    fallbacks, after which `jax.devices()` spans the pod slice and
+    `make_mesh()` builds the global cell mesh (ICI within a slice, DCN
+    across hosts — the per-iteration psum payload is only
+    ~n_var * n_donor * 8B, so scaling is compute-bound).
+
+    No-ops when already initialized or on a single process.
+    """
+    import os
+    coordinator_address = (coordinator_address
+                           or os.environ.get("VIREO_COORDINATOR"))
+    if coordinator_address is None and num_processes is None:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id)
+    return True
 
 
 # ---------------------------------------------------------------------
@@ -66,6 +88,30 @@ def fit_vb_auto(mesh, counts, state, priors, cfg, **fit_kwargs):
         beta_sum=jax.device_put(state.beta_sum, rep))
     priors = jax.tree.map(lambda x: jax.device_put(x, rep), priors)
     return fit_vb(counts, state, priors, cfg, **fit_kwargs)
+
+
+def warm_restarts_auto(mesh, counts, states_batched, priors, cfg,
+                       **fit_kwargs):
+    """Multi-init warm fits on a cell-sharded mesh: counts/ID_prob are
+    sharded over cells, the restart axis is vmapped — XLA batches the
+    per-restart matmuls to full MXU width while reading the data once
+    and inserts the per-iteration all-reduces."""
+    assert isinstance(counts, DenseCounts), "auto path expects DenseCounts"
+    cell_sh = NamedSharding(mesh, P(None, CELL_AXIS))
+    id_sh = NamedSharding(mesh, P(None, CELL_AXIS, None))  # (R, C, K)
+    rep = NamedSharding(mesh, P())
+
+    counts = DenseCounts(jax.device_put(counts.ad, cell_sh),
+                         jax.device_put(counts.dp, cell_sh))
+    states_batched = dataclasses.replace(
+        states_batched,
+        id_prob=jax.device_put(states_batched.id_prob, id_sh),
+        gt_prob=jax.device_put(states_batched.gt_prob, rep),
+        beta_mu=jax.device_put(states_batched.beta_mu, rep),
+        beta_sum=jax.device_put(states_batched.beta_sum, rep))
+    priors = jax.tree.map(lambda x: jax.device_put(x, rep), priors)
+    return jax.vmap(lambda st: fit_vb(counts, st, priors, cfg,
+                                      **fit_kwargs))(states_batched)
 
 
 # ---------------------------------------------------------------------
