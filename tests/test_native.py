@@ -1,0 +1,75 @@
+"""Native C++ IO parser: bit-parity with the pure-Python readers on the
+bundled reference data, plus fallback behavior."""
+
+import numpy as np
+import pytest
+
+DATA = "/root/reference/data"
+
+
+@pytest.fixture(scope="module")
+def native():
+    from vireo_tpu.io._native import available
+    if not available():
+        pytest.skip("native toolchain unavailable")
+    return True
+
+
+def test_cell_vcf_parity(native):
+    from vireo_tpu.io.fast import load_cell_vcf_fast
+    from vireo_tpu.io.vcf import load_VCF, read_sparse_GeneINFO
+
+    fast = load_cell_vcf_fast(DATA + "/cells.cellSNP.vcf.gz",
+                              tags=("AD", "DP"), biallelic_only=True)
+    ref = load_VCF(DATA + "/cells.cellSNP.vcf.gz", biallelic_only=True)
+    mats = read_sparse_GeneINFO(ref["GenoINFO"], keys=["AD", "DP"])
+
+    assert fast["variants"] == ref["variants"]
+    assert fast["samples"] == ref["samples"]
+    assert fast["comments"] == ref["comments"]
+    assert fast["contigs"] == ref["contigs"]
+    for k in ref["FixedINFO"]:
+        assert fast["FixedINFO"][k] == ref["FixedINFO"][k]
+    for k in ("AD", "DP"):
+        assert (fast[k] != mats[k]).nnz == 0
+
+
+def test_variants_fast_parity(native):
+    from vireo_tpu.io.fast import load_variants_fast
+    from vireo_tpu.io.vcf import load_VCF
+
+    fast = load_variants_fast(DATA + "/cellSNP_mat/cellSNP.base.vcf.gz")
+    ref = load_VCF(DATA + "/cellSNP_mat/cellSNP.base.vcf.gz",
+                   load_sample=False, biallelic_only=False)
+    assert fast["variants"] == ref["variants"]
+    for k in ref["FixedINFO"]:
+        assert fast["FixedINFO"][k] == ref["FixedINFO"][k]
+
+
+def test_mtx_fast_parity(native):
+    import scipy.io as sio
+    from vireo_tpu.io.fast import read_mtx_fast
+
+    path = DATA + "/cellSNP_mat/cellSNP.tag.AD.mtx"
+    fast = read_mtx_fast(path)
+    ref = sio.mmread(path).tocsc()
+    assert fast.shape == ref.shape
+    assert (fast != ref).nnz == 0
+
+
+def test_read_cellsnp_uses_native(native):
+    from vireo_tpu.io.matrices import read_cellSNP
+
+    dat = read_cellSNP(DATA + "/cellSNP_mat")
+    assert dat["AD"].shape == (3784, 952)
+    assert dat["AD"].nnz == 32444
+    assert len(dat["variants"]) == 3784
+
+
+def test_fallback_when_disabled(monkeypatch):
+    from vireo_tpu.io import fast
+
+    monkeypatch.setattr(fast, "_native_lib", lambda: None)
+    assert fast.load_cell_vcf_fast("x.vcf") is None
+    assert fast.load_variants_fast("x.vcf") is None
+    assert fast.read_mtx_fast("x.mtx") is None

@@ -145,12 +145,17 @@ def main(argv=None):
         cell_dat = read_cellSNP(options.cell_data)
     else:
         print("[vireo] Loading cell VCF file ...")
-        cell_vcf = load_VCF(options.cell_data, biallelic_only=True)
-        cell_dat = read_sparse_GeneINFO(cell_vcf['GenoINFO'],
-                                        keys=['AD', 'DP'])
-        for _key in ['samples', 'variants', 'FixedINFO', 'contigs',
-                     'comments']:
-            cell_dat[_key] = cell_vcf[_key]
+        from ..io.fast import load_cell_vcf_fast
+        cell_dat = load_cell_vcf_fast(options.cell_data,
+                                      tags=("AD", "DP"),
+                                      biallelic_only=True)
+        if cell_dat is None:  # no native toolchain: pure-Python path
+            cell_vcf = load_VCF(options.cell_data, biallelic_only=True)
+            cell_dat = read_sparse_GeneINFO(cell_vcf['GenoINFO'],
+                                            keys=['AD', 'DP'])
+            for _key in ['samples', 'variants', 'FixedINFO', 'contigs',
+                         'comments']:
+                cell_dat[_key] = cell_vcf[_key]
 
     # subset cells (vireo.py:136-142)
     if options.cell_range is not None:

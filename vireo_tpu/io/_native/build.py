@@ -1,0 +1,88 @@
+"""Compile-on-first-use loader for the native VCF/mtx parser.
+
+Builds `vcfio.cpp` into `_vcfio.so` with the system g++ (no pybind11 —
+plain C ABI + ctypes), caching the binary next to the source keyed on
+source mtime.  If no toolchain is present, `lib()` returns None and the
+pure-Python readers take over.
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "vcfio.cpp")
+_SO = os.path.join(_HERE, "_vcfio.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+class CellVcfView(ctypes.Structure):
+    _fields_ = [
+        ("n_var", ctypes.c_int64),
+        ("n_samp", ctypes.c_int64),
+        ("nnz", ctypes.c_int64),
+        ("n_tags", ctypes.c_int32),
+        ("variants", ctypes.c_char_p),
+        ("samples", ctypes.c_char_p),
+        ("fixed", ctypes.c_char_p),
+        ("comments", ctypes.c_char_p),
+        ("indptr", ctypes.POINTER(ctypes.c_int64)),
+        ("indices", ctypes.POINTER(ctypes.c_int32)),
+        ("values", ctypes.POINTER(ctypes.c_double)),
+        ("error", ctypes.c_char_p),
+        ("impl", ctypes.c_void_p),
+    ]
+
+
+def _build():
+    if os.environ.get("VIREO_NO_NATIVE"):
+        return None
+    stale = (not os.path.exists(_SO)
+             or os.path.getmtime(_SO) < os.path.getmtime(_SRC))
+    if stale:
+        tmp = _SO + ".%d.tmp" % os.getpid()
+        cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+               _SRC, "-o", tmp, "-lz"]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            os.replace(tmp, _SO)  # atomic vs concurrent builders
+        except (OSError, subprocess.SubprocessError):
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.cellvcf_load.restype = ctypes.POINTER(CellVcfView)
+    lib.cellvcf_load.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                 ctypes.c_char_p, ctypes.c_int]
+    lib.cellvcf_free.restype = None
+    lib.cellvcf_free.argtypes = [ctypes.POINTER(CellVcfView)]
+    lib.mmread_coo.restype = ctypes.c_int64
+    lib.mmread_coo.argtypes = [ctypes.c_char_p,
+                               ctypes.POINTER(ctypes.c_int64),
+                               ctypes.POINTER(ctypes.c_int32),
+                               ctypes.POINTER(ctypes.c_int32),
+                               ctypes.POINTER(ctypes.c_double)]
+    return lib
+
+
+def lib():
+    """The loaded native library, or None if unavailable."""
+    global _lib, _tried
+    if _tried:
+        return _lib
+    with _lock:
+        if not _tried:
+            _lib = _build()
+            _tried = True
+    return _lib
+
+
+def available():
+    return lib() is not None

@@ -1,0 +1,391 @@
+// vireo-tpu native IO: streaming VCF -> CSR allele-count parser.
+//
+// The reference loads cell VCFs through a pure-Python line loop
+// (/root/reference/vireoSNP/utils/vcf_utils.py:80-159 feeding :12-77),
+// which dominates end-to-end wall clock once the engine itself runs on
+// TPU.  This translation unit is a from-scratch C++17 streaming parser
+// that produces exactly the arrays the engine needs — variant ids,
+// sample ids, the 8 fixed columns, and per-FORMAT-tag CSR value arrays
+// over non-missing entries — in one pass over the (b)gzip stream.
+//
+// Exposed through a plain C ABI (loaded from Python via ctypes, no
+// pybind11).  Build: g++ -O3 -std=c++17 -shared -fPIC vcfio.cpp -lz.
+
+#include <zlib.h>
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+// Chunked line reader over gzFile.  zlib's gz* layer transparently
+// handles plain text, gzip, and bgzip (concatenated members).
+class LineReader {
+ public:
+  explicit LineReader(const char* path) : f_(gzopen(path, "rb")) {
+    if (f_ != nullptr) gzbuffer(f_, 1 << 20);
+    buf_.resize(1 << 20);
+  }
+  ~LineReader() {
+    if (f_ != nullptr) gzclose(f_);
+  }
+  bool ok() const { return f_ != nullptr; }
+
+  // Returns false at EOF.  The returned view is valid until the next
+  // call.  Strips trailing '\n' and '\r'.
+  bool next(const char** line, size_t* len) {
+    size_t start = pos_;
+    for (;;) {
+      // scan for newline in [pos_, end_)
+      const char* nl = static_cast<const char*>(
+          memchr(buf_.data() + pos_, '\n', end_ - pos_));
+      if (nl != nullptr) {
+        size_t eol = static_cast<size_t>(nl - buf_.data());
+        *line = buf_.data() + start;
+        *len = eol - start;
+        while (*len > 0 && (*line)[*len - 1] == '\r') --*len;
+        pos_ = eol + 1;
+        return true;
+      }
+      // no newline: shift remainder to front and refill
+      size_t rem = end_ - start;
+      if (start > 0) {
+        memmove(buf_.data(), buf_.data() + start, rem);
+        start = 0;
+        pos_ = rem;
+        end_ = rem;
+      }
+      if (end_ == buf_.size()) buf_.resize(buf_.size() * 2);
+      int n = gzread(f_, buf_.data() + end_,
+                     static_cast<unsigned>(buf_.size() - end_));
+      if (n < 0) return false;  // stream error: stop
+      if (n == 0) {             // EOF: emit trailing partial line if any
+        if (end_ > start) {
+          *line = buf_.data() + start;
+          *len = end_ - start;
+          while (*len > 0 && (*line)[*len - 1] == '\r') --*len;
+          pos_ = end_;
+          return true;
+        }
+        return false;
+      }
+      end_ += static_cast<size_t>(n);
+    }
+  }
+
+ private:
+  gzFile f_;
+  std::vector<char> buf_;
+  size_t pos_ = 0;
+  size_t end_ = 0;
+};
+
+// Split a line into tab-separated field views.
+inline void split_tabs(const char* s, size_t len,
+                       std::vector<std::pair<const char*, size_t>>* out) {
+  out->clear();
+  const char* p = s;
+  const char* lim = s + len;
+  while (p <= lim) {
+    const char* tab = static_cast<const char*>(memchr(p, '\t', lim - p));
+    if (tab == nullptr) {
+      out->emplace_back(p, lim - p);
+      break;
+    }
+    out->emplace_back(p, tab - p);
+    p = tab + 1;
+  }
+}
+
+// Parse the comma-field of a FORMAT value at `axis` (-1 = last) as a
+// double; '.' -> 0 (read_sparse_GeneINFO semantics, vcf_utils.py:203).
+inline double parse_axis_value(const char* s, size_t len, int axis) {
+  const char* p = s;
+  const char* lim = s + len;
+  if (axis < 0) {
+    const char* comma =
+        static_cast<const char*>(memrchr(const_cast<char*>(s), ',', len));
+    if (comma != nullptr) p = comma + 1;
+  } else {
+    for (int k = 0; k < axis && p < lim; ++k) {
+      const char* comma = static_cast<const char*>(memchr(p, ',', lim - p));
+      if (comma == nullptr) break;
+      p = comma + 1;
+    }
+    const char* comma = static_cast<const char*>(memchr(p, ',', lim - p));
+    if (comma != nullptr) lim = comma;
+  }
+  if (lim - p == 1 && *p == '.') return 0.0;
+  char tmp[64];
+  size_t n = static_cast<size_t>(lim - p);
+  if (n >= sizeof(tmp)) n = sizeof(tmp) - 1;
+  memcpy(tmp, p, n);
+  tmp[n] = '\0';
+  return strtod(tmp, nullptr);
+}
+
+inline bool all_dots(const char* s, size_t len) {
+  // missing entry: "." or ".:.:..." — every ':'-field equals "."
+  for (size_t i = 0; i < len; ++i) {
+    if (s[i] == ':') continue;
+    if (s[i] != '.') return false;
+    if (i + 1 < len && s[i + 1] != ':') return false;
+    if (i > 0 && s[i - 1] != ':') return false;
+  }
+  return len > 0;
+}
+
+struct CellVcfImpl {
+  int64_t n_var = 0, n_samp = 0, nnz = 0;
+  int32_t n_tags = 0;
+  std::string variants;   // '\n'-joined variant ids CHROM_POS_REF_ALT
+  std::string samples;    // '\n'-joined sample ids
+  std::string fixed;      // '\n'-joined lines of 8 '\t'-joined columns
+  std::string comments;   // '\n'-joined '##' header lines
+  std::vector<int64_t> indptr;
+  std::vector<int32_t> indices;
+  std::vector<double> values;  // tag-major: values[t*nnz + k]
+  std::string error;
+};
+
+}  // namespace
+
+extern "C" {
+
+struct CellVcfView {
+  int64_t n_var, n_samp, nnz;
+  int32_t n_tags;
+  const char* variants;
+  const char* samples;
+  const char* fixed;
+  const char* comments;
+  const int64_t* indptr;
+  const int32_t* indices;
+  const double* values;
+  const char* error;
+  void* impl;
+};
+
+// Parse `path`, extracting FORMAT tags in `tags_csv` (e.g. "AD,DP") at
+// comma-axis `axes_csv` (e.g. "-1,-1").  biallelic_only skips variants
+// with multi-base REF/ALT (vcf_utils.py:140-142).
+CellVcfView* cellvcf_load(const char* path, const char* tags_csv,
+                          const char* axes_csv, int biallelic_only) {
+  auto* impl = new CellVcfImpl();
+  auto* view = new CellVcfView();
+  memset(view, 0, sizeof(*view));
+  view->impl = impl;
+
+  std::vector<std::string> tags;
+  {
+    const char* p = tags_csv;
+    while (*p) {
+      const char* c = strchr(p, ',');
+      if (c == nullptr) {
+        tags.emplace_back(p);
+        break;
+      }
+      tags.emplace_back(p, c - p);
+      p = c + 1;
+    }
+  }
+  std::vector<int> axes(tags.size(), -1);
+  {
+    const char* p = axes_csv;
+    for (size_t i = 0; i < tags.size() && *p; ++i) {
+      axes[i] = atoi(p);
+      const char* c = strchr(p, ',');
+      if (c == nullptr) break;
+      p = c + 1;
+    }
+  }
+  impl->n_tags = static_cast<int32_t>(tags.size());
+
+  LineReader reader(path);
+  if (!reader.ok()) {
+    impl->error = std::string("cannot open: ") + path;
+    view->error = impl->error.c_str();
+    return view;
+  }
+
+  std::vector<std::pair<const char*, size_t>> cols;
+  std::vector<std::pair<const char*, size_t>> fmt_fields;
+  std::vector<int> tag_idx(tags.size(), -1);
+  std::string cur_format;
+  std::vector<std::vector<double>> tag_vals(tags.size());
+
+  impl->indptr.push_back(0);
+
+  const char* line;
+  size_t len;
+  while (reader.next(&line, &len)) {
+    if (len == 0) continue;
+    if (line[0] == '#') {
+      if (len >= 6 && memcmp(line, "#CHROM", 6) == 0) {
+        split_tabs(line, len, &cols);
+        for (size_t i = 9; i < cols.size(); ++i) {
+          if (!impl->samples.empty()) impl->samples += '\n';
+          impl->samples.append(cols[i].first, cols[i].second);
+          ++impl->n_samp;
+        }
+      } else {
+        if (!impl->comments.empty()) impl->comments += '\n';
+        impl->comments.append(line, len);
+      }
+      continue;
+    }
+    split_tabs(line, len, &cols);
+    if (cols.size() < 8) continue;
+    if (biallelic_only && (cols[3].second > 1 || cols[4].second > 1)) continue;
+
+    // variant id CHROM_POS_REF_ALT (vcf_utils.py:153)
+    if (!impl->variants.empty()) impl->variants += '\n';
+    impl->variants.append(cols[0].first, cols[0].second);
+    impl->variants += '_';
+    impl->variants.append(cols[1].first, cols[1].second);
+    impl->variants += '_';
+    impl->variants.append(cols[3].first, cols[3].second);
+    impl->variants += '_';
+    impl->variants.append(cols[4].first, cols[4].second);
+
+    // 8 fixed columns, '\t'-joined
+    if (!impl->fixed.empty()) impl->fixed += '\n';
+    impl->fixed.append(cols[0].first,
+                       (cols[7].first + cols[7].second) - cols[0].first);
+
+    if (cols.size() > 9 && !tags.empty()) {
+      // resolve tag positions within FORMAT (memoized on the string)
+      if (cur_format.size() != cols[8].second ||
+          memcmp(cur_format.data(), cols[8].first, cols[8].second) != 0) {
+        cur_format.assign(cols[8].first, cols[8].second);
+        fmt_fields.clear();
+        const char* p = cols[8].first;
+        const char* lim = p + cols[8].second;
+        while (p <= lim) {
+          const char* c = static_cast<const char*>(memchr(p, ':', lim - p));
+          size_t flen = (c == nullptr ? lim : c) - p;
+          fmt_fields.emplace_back(p, flen);
+          if (c == nullptr) break;
+          p = c + 1;
+        }
+        for (size_t t = 0; t < tags.size(); ++t) {
+          tag_idx[t] = -1;
+          for (size_t k = 0; k < fmt_fields.size(); ++k) {
+            if (fmt_fields[k].second == tags[t].size() &&
+                memcmp(fmt_fields[k].first, tags[t].data(),
+                       tags[t].size()) == 0) {
+              tag_idx[t] = static_cast<int>(k);
+              break;
+            }
+          }
+        }
+      }
+
+      for (size_t i = 9; i < cols.size(); ++i) {
+        const char* e = cols[i].first;
+        size_t elen = cols[i].second;
+        if ((elen == 1 && e[0] == '.') || all_dots(e, elen)) continue;
+        impl->indices.push_back(static_cast<int32_t>(i - 9));
+        // split entry on ':' and pull each tag's field
+        for (size_t t = 0; t < tags.size(); ++t) {
+          int want = tag_idx[t];
+          const char* p = e;
+          const char* lim = e + elen;
+          const char* fs = p;
+          size_t flen = elen;
+          if (want < 0) {
+            tag_vals[t].push_back(0.0);
+            continue;
+          }
+          for (int k = 0; k <= want; ++k) {
+            const char* c =
+                static_cast<const char*>(memchr(p, ':', lim - p));
+            fs = p;
+            flen = (c == nullptr ? lim : c) - p;
+            if (c == nullptr) break;
+            p = c + 1;
+          }
+          tag_vals[t].push_back(parse_axis_value(fs, flen, axes[t]));
+        }
+      }
+    }
+    impl->indptr.push_back(static_cast<int64_t>(impl->indices.size()));
+    ++impl->n_var;
+  }
+
+  impl->nnz = static_cast<int64_t>(impl->indices.size());
+  impl->values.resize(static_cast<size_t>(impl->nnz) * tags.size());
+  for (size_t t = 0; t < tags.size(); ++t) {
+    memcpy(impl->values.data() + t * impl->nnz, tag_vals[t].data(),
+           sizeof(double) * tag_vals[t].size());
+  }
+
+  view->n_var = impl->n_var;
+  view->n_samp = impl->n_samp;
+  view->nnz = impl->nnz;
+  view->n_tags = impl->n_tags;
+  view->variants = impl->variants.c_str();
+  view->samples = impl->samples.c_str();
+  view->fixed = impl->fixed.c_str();
+  view->comments = impl->comments.c_str();
+  view->indptr = impl->indptr.data();
+  view->indices = impl->indices.data();
+  view->values = impl->values.data();
+  view->error = nullptr;
+  return view;
+}
+
+void cellvcf_free(CellVcfView* view) {
+  if (view == nullptr) return;
+  delete static_cast<CellVcfImpl*>(view->impl);
+  delete view;
+}
+
+// Fast MatrixMarket coordinate reader: fills row/col/val arrays.
+// Returns nnz on success, -1 on error.  Two-call protocol: first call
+// with rows==nullptr to get dims+nnz, then with allocated buffers.
+int64_t mmread_coo(const char* path, int64_t* shape_out, int32_t* rows,
+                   int32_t* cols, double* vals) {
+  LineReader reader(path);
+  if (!reader.ok()) return -1;
+  const char* line;
+  size_t len;
+  // header
+  if (!reader.next(&line, &len)) return -1;
+  if (len < 14 || memcmp(line, "%%MatrixMarket", 14) != 0) return -1;
+  // skip comments
+  for (;;) {
+    if (!reader.next(&line, &len)) return -1;
+    if (len > 0 && line[0] != '%') break;
+  }
+  char tmp[128];
+  size_t n = len < sizeof(tmp) - 1 ? len : sizeof(tmp) - 1;
+  memcpy(tmp, line, n);
+  tmp[n] = '\0';
+  char* end;
+  int64_t n_row = strtoll(tmp, &end, 10);
+  int64_t n_col = strtoll(end, &end, 10);
+  int64_t nnz = strtoll(end, &end, 10);
+  shape_out[0] = n_row;
+  shape_out[1] = n_col;
+  shape_out[2] = nnz;
+  if (rows == nullptr) return nnz;
+
+  int64_t k = 0;
+  while (k < nnz && reader.next(&line, &len)) {
+    if (len == 0) continue;
+    size_t m = len < sizeof(tmp) - 1 ? len : sizeof(tmp) - 1;
+    memcpy(tmp, line, m);
+    tmp[m] = '\0';
+    rows[k] = static_cast<int32_t>(strtoll(tmp, &end, 10) - 1);
+    cols[k] = static_cast<int32_t>(strtoll(end, &end, 10) - 1);
+    vals[k] = strtod(end, &end);
+    ++k;
+  }
+  return k;
+}
+
+}  // extern "C"

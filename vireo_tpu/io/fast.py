@@ -1,0 +1,135 @@
+"""Fast native-backed readers (C++ streaming parser via ctypes).
+
+Drop-in accelerations of the hot host-IO paths — cell-VCF -> CSR
+AD/DP, base-VCF variant ids, and MatrixMarket bodies — with automatic
+fallback to the pure-Python readers when the native library is
+unavailable.  Output layouts match the reference structures
+(/root/reference/vireoSNP/utils/vcf_utils.py:80-205,
+io_utils.py:42-59) exactly.
+"""
+
+import ctypes
+
+import numpy as np
+
+from ._native import lib as _native_lib
+
+__all__ = ["native_available", "load_cell_vcf_fast", "load_variants_fast",
+           "read_mtx_fast"]
+
+_FIXED_KEYS = ["CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO"]
+
+
+def native_available():
+    return _native_lib() is not None
+
+
+def _split_blob(blob):
+    if not blob:
+        return []
+    return blob.decode("utf-8", "replace").split("\n")
+
+
+def load_cell_vcf_fast(vcf_file, tags=("AD", "DP"), axes=(-1, -1),
+                       biallelic_only=True):
+    """Parse a cell VCF into {'AD': csr, 'DP': csr, samples, variants,
+    FixedINFO, contigs, comments} in one native pass.
+
+    Equivalent to load_VCF(...)+read_sparse_GeneINFO(...)
+    (vcf_utils.py:80-205) for numeric FORMAT tags; returns None when the
+    native library is unavailable (callers fall back).
+    """
+    nat = _native_lib()
+    if nat is None:
+        return None
+    from scipy.sparse import csr_matrix
+
+    view_p = nat.cellvcf_load(
+        vcf_file.encode(), ",".join(tags).encode(),
+        ",".join(str(a) for a in axes).encode(), int(biallelic_only))
+    try:
+        v = view_p.contents
+        if v.error:
+            raise IOError(v.error.decode())
+        n_var, n_samp, nnz = v.n_var, v.n_samp, v.nnz
+
+        indptr = np.ctypeslib.as_array(v.indptr, shape=(n_var + 1,)).copy()
+        indices = np.ctypeslib.as_array(v.indices, shape=(max(nnz, 1),))
+        indices = indices[:nnz].copy()
+        vals = np.ctypeslib.as_array(
+            v.values, shape=(max(len(tags) * nnz, 1),))
+        vals = vals[:len(tags) * nnz].copy()
+
+        variants = _split_blob(v.variants)
+        samples = _split_blob(v.samples)
+        comments = _split_blob(v.comments)
+        fixed_lines = _split_blob(v.fixed)
+    finally:
+        nat.cellvcf_free(view_p)
+
+    RV = {}
+    for i, tag in enumerate(tags):
+        RV[tag] = csr_matrix(
+            (vals[i * nnz:(i + 1) * nnz], indices, indptr),
+            shape=(n_var, n_samp))
+    RV["samples"] = samples
+    RV["variants"] = variants
+    RV["comments"] = comments
+    RV["contigs"] = [x for x in comments if x.startswith("##contig=")]
+    cols = [ln.split("\t") for ln in fixed_lines]
+    RV["FixedINFO"] = {k: [c[i] for c in cols]
+                       for i, k in enumerate(_FIXED_KEYS)}
+    return RV
+
+
+def load_variants_fast(vcf_file, biallelic_only=False):
+    """Variant ids + FixedINFO only (load_sample=False path of
+    load_VCF, vcf_utils.py:87-135); None if native unavailable."""
+    nat = _native_lib()
+    if nat is None:
+        return None
+    view_p = nat.cellvcf_load(vcf_file.encode(), b"", b"",
+                              int(biallelic_only))
+    try:
+        v = view_p.contents
+        if v.error:
+            raise IOError(v.error.decode())
+        variants = _split_blob(v.variants)
+        comments = _split_blob(v.comments)
+        fixed_lines = _split_blob(v.fixed)
+    finally:
+        nat.cellvcf_free(view_p)
+    cols = [ln.split("\t") for ln in fixed_lines]
+    return {
+        "variants": variants,
+        "comments": comments,
+        "contigs": [x for x in comments if x.startswith("##contig=")],
+        "FixedINFO": {k: [c[i] for c in cols]
+                      for i, k in enumerate(_FIXED_KEYS)},
+    }
+
+
+def read_mtx_fast(path):
+    """MatrixMarket coordinate file -> scipy CSC via the native parser;
+    None if unavailable (io_utils.py:57 semantics)."""
+    nat = _native_lib()
+    if nat is None:
+        return None
+    from scipy.sparse import csc_matrix
+
+    shape = (ctypes.c_int64 * 3)()
+    nnz = nat.mmread_coo(path.encode(), shape, None, None, None)
+    if nnz < 0:
+        return None
+    rows = np.zeros(max(nnz, 1), np.int32)
+    cols = np.zeros(max(nnz, 1), np.int32)
+    vals = np.zeros(max(nnz, 1), np.float64)
+    got = nat.mmread_coo(
+        path.encode(), shape,
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if got != shape[2]:
+        return None
+    return csc_matrix((vals[:got], (rows[:got], cols[:got])),
+                      shape=(shape[0], shape[1]))

@@ -20,10 +20,14 @@ __all__ = ["match_donor_VCF", "read_cellSNP", "read_vartrix", "read_mtx",
 def read_mtx(path):
     """Fast MatrixMarket coordinate reader -> scipy CSC.
 
-    Drop-in for scipy.io.mmread(...).tocsc() on cellSNP outputs, using
-    np.loadtxt over the body (several times faster on big matrices).
+    Drop-in for scipy.io.mmread(...).tocsc() on cellSNP outputs: the
+    native C++ parser when available, else np.loadtxt over the body.
     """
     import scipy.sparse as sp
+    from .fast import read_mtx_fast
+    fast = read_mtx_fast(path)
+    if fast is not None:
+        return fast
     opener = open
     if path.endswith(".gz"):
         import gzip
@@ -76,10 +80,18 @@ def match_donor_VCF(cell_dat, donor_vcf):
     return cell_dat, donor_vcf
 
 
+def _load_variants(vcf_file):
+    """Variant-id-only VCF load; native fast path when available."""
+    from .fast import load_variants_fast
+    dat = load_variants_fast(vcf_file)
+    if dat is None:
+        dat = load_VCF(vcf_file, load_sample=False, biallelic_only=False)
+    return dat
+
+
 def read_cellSNP(dir_name, layers=['AD', 'DP']):
     """Read a cellSNP output folder (io_utils.py:42-59)."""
-    cell_dat = load_VCF(dir_name + "/cellSNP.base.vcf.gz",
-                        load_sample=False, biallelic_only=False)
+    cell_dat = _load_variants(dir_name + "/cellSNP.base.vcf.gz")
     for _layer in layers:
         cell_dat[_layer] = read_mtx(
             dir_name + "/cellSNP.tag.%s.mtx" % _layer)
@@ -91,8 +103,7 @@ def read_cellSNP(dir_name, layers=['AD', 'DP']):
 def read_vartrix(alt_mtx, ref_mtx, cell_file, vcf_file=None):
     """Read VarTrix outputs; DP = REF + ALT (io_utils.py:62-88)."""
     if vcf_file is not None:
-        cell_dat = load_VCF(vcf_file, load_sample=False,
-                            biallelic_only=False)
+        cell_dat = _load_variants(vcf_file)
         cell_dat['variants'] = np.array(cell_dat['variants'])
     else:
         cell_dat = {}
