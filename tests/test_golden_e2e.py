@@ -1,0 +1,62 @@
+"""End-to-end golden tests: the full `vireo` CLI on the bundled
+reference demo data must reproduce the reference implementation's
+donor_ids.tsv EXACTLY (same seed, same draw order) — the BASELINE.md
+correctness target.
+
+Goldens in tests/goldens/ were produced by running the reference CLI
+(/root/reference/vireoSNP/vireo.py) with --randSeed 2; regenerate with
+the commands in examples/demo.sh pointed at the reference package.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+DATA = "/root/reference/data"
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _read_ids(path):
+    with open(path) as f:
+        header = f.readline()
+        rows = [ln.split("\t")[:2] for ln in f.read().splitlines()]
+    assert header.startswith("cell\tdonor_id")
+    return rows
+
+
+def _run_cli(args, out_dir):
+    from vireo_tpu.cli.vireo_cli import main
+    main(args + ["-o", str(out_dir), "--randSeed", "2", "--noPlot"])
+    return _read_ids(os.path.join(str(out_dir), "donor_ids.tsv"))
+
+
+@pytest.mark.parametrize("mode,golden,args", [
+    ("mode1_noGT", "donor_ids_mode1.tsv",
+     ["-c", DATA + "/cellSNP_mat", "-N", "4"]),
+    ("mode2_donorGT", "donor_ids_mode2.tsv",
+     ["-c", DATA + "/cells.cellSNP.vcf.gz",
+      "-d", DATA + "/donors.cellSNP.vcf.gz", "-N", "4"]),
+    ("mode3_partialGT", "donor_ids_mode3.tsv",
+     ["-c", DATA + "/cells.cellSNP.vcf.gz",
+      "-d", DATA + "/donors.two.cellSNP.vcf.gz", "-N", "4"]),
+    ("mode4_forceLearnGT", "donor_ids_mode4.tsv",
+     ["-c", DATA + "/cells.cellSNP.vcf.gz",
+      "-d", DATA + "/donors.cellSNP.vcf.gz", "-N", "4",
+      "--forceLearnGT"]),
+    ("mode5_subsetDonors", "donor_ids_mode5.tsv",
+     ["-c", DATA + "/cells.cellSNP.vcf.gz",
+      "-d", DATA + "/donors.cellSNP.vcf.gz", "-N", "3"]),
+])
+def test_cli_matches_reference_golden(mode, golden, args, tmp_path):
+    golden_path = os.path.join(HERE, "goldens", golden)
+    want = _read_ids(golden_path)
+    got = _run_cli(args, tmp_path / mode)
+    cells_w = [r[0] for r in want]
+    cells_g = [r[0] for r in got]
+    assert cells_w == cells_g
+    ids_w = np.array([r[1] for r in want])
+    ids_g = np.array([r[1] for r in got])
+    n_diff = int((ids_w != ids_g).sum())
+    assert n_diff == 0, ("%s: %d/%d donor calls differ from reference"
+                         % (mode, n_diff, len(ids_w)))
