@@ -10,6 +10,7 @@ setup(
     description="TPU-native donor deconvolution for multiplexed "
                 "single-cell RNA-seq (JAX/XLA)",
     packages=find_packages(exclude=("tests",)),
+    package_data={"vireo_tpu.io._native": ["*.cpp"]},
     python_requires=">=3.10",
     install_requires=["numpy", "scipy", "jax", "matplotlib"],
     entry_points={
