@@ -1,0 +1,149 @@
+"""True multi-process (multi-"host") run of the sharded EM fit.
+
+Launches N worker processes on this machine (each with its own set of
+virtual CPU devices) that form one jax.distributed job, build a global
+cell-sharded mesh spanning all processes, and run the shard_map COO
+fit with cross-process collectives (gloo on CPU; on TPU pods the same
+code rides ICI/DCN). Verifies the multi-process ELBO equals the
+single-process one.
+
+This exercises exactly the code path a TPU pod uses —
+`initialize_distributed` + `make_mesh` + `sharded_fit_vb` — with DCN
+emulated by localhost TCP.
+
+Usage:  python benchmarks/multihost_demo.py [n_processes]
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def worker(pid, nproc):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, REPO)
+    import numpy as np
+    from vireo_tpu.parallel.mesh import (initialize_distributed, make_mesh,
+                                         build_cell_sharded_coo,
+                                         sharded_fit_vb)
+    from vireo_tpu.models.vireo import (VireoConfig, init_state,
+                                        default_priors)
+    from vireo_tpu.sim.synth import synth_pool_counts
+
+    initialize_distributed(coordinator_address="127.0.0.1:29871",
+                           num_processes=nproc, process_id=pid)
+    n_dev = len(jax.devices())
+    assert n_dev == 2 * nproc
+
+    d = synth_pool_counts(n_var=800, n_cell=2400, n_donor=4,
+                          doublet_rate=0.05, density=0.02, seed=0)
+    arrays, meta = build_cell_sharded_coo(d["AD"], d["DP"], n_dev)
+    cfg = VireoConfig(n_var=800, n_cell=meta["n_cell_pad"], n_donor=4)
+    rng = np.random.RandomState(1)
+    state = init_state(cfg, rng=rng, dtype=np.float32)
+    priors = default_priors(cfg, dtype=np.float32)
+    mesh = make_mesh()
+
+    import time
+    r1 = sharded_fit_vb(mesh, arrays, meta, state, priors, cfg,
+                        min_iter=1, max_iter=1)
+    jax.block_until_ready(r1.elbo_final)
+    t0 = time.time()
+    r30 = sharded_fit_vb(mesh, arrays, meta, state, priors, cfg,
+                         min_iter=30, max_iter=30)
+    jax.block_until_ready(r30.elbo_final)
+    dt = time.time() - t0
+    if pid == 0:
+        print(json.dumps({
+            "metric": "multiprocess_elbo",
+            "n_processes": nproc,
+            "n_devices": n_dev,
+            "elbo1": float(r1.elbo_final),
+            "elbo30": float(r30.elbo_final),
+            "fit_s": round(dt, 3),
+        }))
+
+
+def single_process_elbo():
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, REPO)
+    import numpy as np
+    from vireo_tpu.parallel.mesh import (make_mesh, build_cell_sharded_coo,
+                                         sharded_fit_vb)
+    from vireo_tpu.models.vireo import (VireoConfig, init_state,
+                                        default_priors)
+    from vireo_tpu.sim.synth import synth_pool_counts
+
+    d = synth_pool_counts(n_var=800, n_cell=2400, n_donor=4,
+                          doublet_rate=0.05, density=0.02, seed=0)
+    arrays, meta = build_cell_sharded_coo(d["AD"], d["DP"], 4)
+    cfg = VireoConfig(n_var=800, n_cell=meta["n_cell_pad"], n_donor=4)
+    rng = np.random.RandomState(1)
+    state = init_state(cfg, rng=rng, dtype=np.float32)
+    priors = default_priors(cfg, dtype=np.float32)
+    mesh = make_mesh(n_devices=4)
+    r1 = sharded_fit_vb(mesh, arrays, meta, state, priors, cfg,
+                        min_iter=1, max_iter=1)
+    r30 = sharded_fit_vb(mesh, arrays, meta, state, priors, cfg,
+                         min_iter=30, max_iter=30)
+    print(json.dumps({"metric": "singleprocess_elbo",
+                      "elbo1": float(r1.elbo_final),
+                      "elbo30": float(r30.elbo_final)}))
+
+
+def main():
+    nproc = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+
+    # reference ELBO from one process with the same 4-device mesh
+    out = subprocess.run(
+        [sys.executable, __file__, "--single"],
+        capture_output=True, text=True, timeout=600)
+    single = json.loads(
+        [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1])
+
+    procs = [subprocess.Popen(
+        [sys.executable, __file__, "--worker", str(p), str(nproc)],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+        for p in range(nproc)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), "worker failed"
+    multi = json.loads(
+        [ln for o in outs for ln in o.splitlines()
+         if ln.startswith("{")][-1])
+
+    # one-step parity is tight (same math, different f32 all-reduce
+    # order: ~1e-7); after 30 EM iterations the soft-assignment
+    # dynamics amplify that rounding noise, so the long-run tolerance
+    # is loose — both runs converge to the same assignments.
+    rel1 = abs(multi["elbo1"] - single["elbo1"]) / abs(single["elbo1"])
+    rel30 = abs(multi["elbo30"] - single["elbo30"]) / abs(single["elbo30"])
+    print(json.dumps({
+        "metric": "multihost_elbo_parity",
+        "value": rel1,
+        "unit": "rel_diff_1iter",
+        "rel_diff_30iter": rel30,
+        "single_elbo30": single["elbo30"],
+        "multi_elbo30": multi["elbo30"],
+        "n_processes": nproc,
+        "fit_s": multi["fit_s"],
+        "ok": rel1 < 1e-6 and rel30 < 1e-3,
+    }))
+    assert rel1 < 1e-6 and rel30 < 1e-3
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), int(sys.argv[3]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--single":
+        single_process_elbo()
+    else:
+        main()

@@ -60,10 +60,30 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
                            or os.environ.get("VIREO_COORDINATOR"))
     if coordinator_address is None and num_processes is None:
         return False
+    # cross-process CPU collectives need an explicit transport; must be
+    # set before the backend initializes (so no jax.default_backend()
+    # probe here — read the configured platform string instead)
+    plat = (jax.config.jax_platforms or
+            os.environ.get("JAX_PLATFORMS", ""))
+    if "cpu" in str(plat):
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes, process_id=process_id)
     return True
+
+
+def _put_global(mesh, x, spec):
+    """Assemble a process-replicated host array into a global device
+    array with the given PartitionSpec. Works identically in single-
+    and multi-process runs (every process holds the full host copy and
+    serves whatever index shards land on its local devices)."""
+    x = np.asarray(x)
+    sh = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
 
 
 # ---------------------------------------------------------------------
@@ -261,5 +281,15 @@ def sharded_fit_vb(mesh, arrays, meta, state, priors, cfg, **fit_kwargs):
 
     fn = shard_map(run, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
                    check_vma=False)
-    arrays_dev = {k: jnp.asarray(v) for k, v in arrays.items()}
-    return fn(arrays_dev, state, priors)
+    # global placement (multi-process safe): COO chunks sharded over
+    # cells, id_prob cell-sharded, parameters/priors replicated
+    arrays_dev = {k: _put_global(mesh, v, P(CELL_AXIS))
+                  for k, v in arrays.items()}
+    state_dev = dataclasses.replace(
+        state,
+        id_prob=_put_global(mesh, state.id_prob, P(CELL_AXIS, None)),
+        gt_prob=_put_global(mesh, state.gt_prob, P()),
+        beta_mu=_put_global(mesh, state.beta_mu, P()),
+        beta_sum=_put_global(mesh, state.beta_sum, P()))
+    priors_dev = jax.tree.map(lambda x: _put_global(mesh, x, P()), priors)
+    return fn(arrays_dev, state_dev, priors_dev)
