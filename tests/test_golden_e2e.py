@@ -60,3 +60,16 @@ def test_cli_matches_reference_golden(mode, golden, args, tmp_path):
     n_diff = int((ids_w != ids_g).sum())
     assert n_diff == 0, ("%s: %d/%d donor calls differ from reference"
                          % (mode, n_diff, len(ids_w)))
+
+
+def test_gtbarcode_matches_reference_golden(tmp_path):
+    """GTbarcode on the reference's learned GT_donors VCF reproduces the
+    reference's GT_barcodes.tsv exactly (randSeed 1, same greedy
+    entropy loop and seeded tie-breaking; GTbarcode.py:16-121)."""
+    from vireo_tpu.cli.gtbarcode_cli import main
+    out = tmp_path / "GT_barcodes.tsv"
+    main(["-i", os.path.join(HERE, "goldens", "GT_donors.ref.vcf.gz"),
+          "-o", str(out), "--randSeed", "1", "--noPlot"])
+    with open(out) as f, open(
+            os.path.join(HERE, "goldens", "GT_barcodes.tsv")) as g:
+        assert f.read() == g.read()
