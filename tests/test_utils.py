@@ -73,3 +73,23 @@ def test_phase_timer():
     tp = throughput(10, 100, 2.0)
     assert tp["em_iters_per_s"] == 5.0
     assert tp["cell_iters_per_s"] == 500.0
+
+
+def test_reference_import_path_aliases():
+    """Scripts written against vireoSNP.utils.* port by renaming the
+    package only (vireoSNP/__init__.py + utils/ layout)."""
+    from vireo_tpu.utils.vireo_model import Vireo
+    from vireo_tpu.utils.bmm_model import BinomMixtureVB
+    from vireo_tpu.utils.vireo_bulk import VireoBulk, LikRatio_test
+    from vireo_tpu.utils.vireo_wrap import vireo_wrap
+    from vireo_tpu.utils.vireo_doublet import predict_doublet
+    from vireo_tpu.utils.vcf_utils import load_VCF, parse_donor_GPb
+    from vireo_tpu.utils.io_utils import read_cellSNP, write_donor_id
+    from vireo_tpu.utils.vireo_base import normalize, optimal_match
+    from vireo_tpu.utils.base_utils import get_confusion
+    from vireo_tpu.utils.variant_select import variant_select
+    for obj in (Vireo, BinomMixtureVB, VireoBulk, LikRatio_test,
+                vireo_wrap, predict_doublet, load_VCF, parse_donor_GPb,
+                read_cellSNP, write_donor_id, normalize, optimal_match,
+                get_confusion, variant_select):
+        assert callable(obj)
