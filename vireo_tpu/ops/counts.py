@@ -90,8 +90,12 @@ class DenseCounts:
                           precision=p))
 
     def binom_coeff_sum(self):
-        """Sum of log C(DP, AD) over DP>0 entries (vireo_base.py:7-22)."""
-        return jnp.sum(log_binom_coeff(self.dp, self.ad))
+        """Sum of log C(DP, AD) over DP>0 entries (vireo_base.py:7-22).
+
+        Chunked + jitted: the elementwise gammaln over a 30k x 100k
+        dense matrix would otherwise materialize several matrix-sized
+        f32 temporaries when called eagerly (OOM on a 16 GB chip)."""
+        return _dense_binom_coeff_sum(self.dp, self.ad)
 
     def row_sums(self):
         """(AD.sum(axis=1), DP.sum(axis=1)) -> two (n_var,)."""
@@ -189,6 +193,28 @@ class SparseCounts:
 
 
 Counts = (DenseCounts, SparseCounts)
+
+
+@jax.jit
+def _dense_binom_coeff_sum(dp, ad, chunk=1 << 24):
+    """sum(log C(dp, ad)) over a large dense matrix without matrix-
+    sized temporaries: scan over flat chunks (~67 MB of f32 each)."""
+    n = dp.size
+    n_full = (n // chunk) * chunk
+    total = jnp.zeros((), jnp.float32)
+    if n_full:
+        xs = (dp.ravel()[:n_full].reshape(-1, chunk),
+              ad.ravel()[:n_full].reshape(-1, chunk))
+
+        def body(carry, x):
+            d, a = x
+            return carry + jnp.sum(log_binom_coeff(d, a)), None
+
+        total, _ = jax.lax.scan(body, total, xs)
+    if n - n_full:
+        total = total + jnp.sum(
+            log_binom_coeff(dp.ravel()[n_full:], ad.ravel()[n_full:]))
+    return total
 
 
 def dense_counts(AD, DP, dtype=jnp.float32):
