@@ -113,3 +113,36 @@ def test_vireo_wrap_on_mesh(small_data):
                                rtol=1e-6, atol=1e-9)
     np.testing.assert_allclose(res_m["LB_doublet"], res_1["LB_doublet"],
                                rtol=1e-8)
+
+
+def test_warm_restarts_sharded_restarts(small_data):
+    """Restart-axis fan-out: data replicated, the restart batch split
+    across devices; results match the cell-sharded layout."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from vireo_tpu.parallel.mesh import make_mesh, warm_restarts_auto
+    from vireo_tpu.models.vireo import (VireoConfig, init_state,
+                                        default_priors)
+    from vireo_tpu.ops.counts import dense_counts
+
+    AD, DP, truth = small_data
+    n_var, n_cell = AD.shape
+    K, R = 3, 8
+    cfg = VireoConfig(n_var=n_var, n_cell=n_cell, n_donor=K)
+    counts = dense_counts(AD.toarray(), DP.toarray(), dtype=jnp.float32)
+    priors = default_priors(cfg, dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    states = [init_state(cfg, rng=rng, dtype=jnp.float32)
+              for _ in range(R)]
+    batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+    mesh = make_mesh(n_devices=8)
+    res_r = warm_restarts_auto(mesh, counts, batched, priors, cfg,
+                               shard_axis="restarts",
+                               min_iter=5, max_iter=10)
+    res_c = warm_restarts_auto(mesh, counts, batched, priors, cfg,
+                               shard_axis="cells",
+                               min_iter=5, max_iter=10)
+    np.testing.assert_allclose(np.asarray(res_r.elbo_ref),
+                               np.asarray(res_c.elbo_ref), rtol=1e-4)

@@ -196,24 +196,31 @@ Counts = (DenseCounts, SparseCounts)
 
 
 @jax.jit
-def _dense_binom_coeff_sum(dp, ad, chunk=1 << 24):
+def _dense_binom_coeff_sum(dp, ad, row_chunk=256):
     """sum(log C(dp, ad)) over a large dense matrix without matrix-
-    sized temporaries: scan over flat chunks (~67 MB of f32 each)."""
-    n = dp.size
-    n_full = (n // chunk) * chunk
-    total = jnp.zeros((), jnp.float32)
+    sized temporaries: fori_loop over row blocks via dynamic_slice
+    (a flat-reshape approach copies the whole int8 matrix — 3 GB at
+    30k x 100k — which alone blew HBM at full scale)."""
+    n_var = dp.shape[0]
+    row_chunk = min(row_chunk, max(n_var, 1))
+    n_full = n_var // row_chunk
+
+    def body(i, tot):
+        d = jax.lax.dynamic_slice_in_dim(dp, i * row_chunk, row_chunk, 0)
+        a = jax.lax.dynamic_slice_in_dim(ad, i * row_chunk, row_chunk, 0)
+        return tot + jnp.sum(log_binom_coeff(d, a))
+
+    acc_dtype = jax.eval_shape(
+        log_binom_coeff,
+        jax.ShapeDtypeStruct((1,), dp.dtype),
+        jax.ShapeDtypeStruct((1,), ad.dtype)).dtype
+    total = jnp.zeros((), acc_dtype)
     if n_full:
-        xs = (dp.ravel()[:n_full].reshape(-1, chunk),
-              ad.ravel()[:n_full].reshape(-1, chunk))
-
-        def body(carry, x):
-            d, a = x
-            return carry + jnp.sum(log_binom_coeff(d, a)), None
-
-        total, _ = jax.lax.scan(body, total, xs)
-    if n - n_full:
+        total = jax.lax.fori_loop(0, n_full, body, total)
+    if n_var - n_full * row_chunk:
         total = total + jnp.sum(
-            log_binom_coeff(dp.ravel()[n_full:], ad.ravel()[n_full:]))
+            log_binom_coeff(dp[n_full * row_chunk:],
+                            ad[n_full * row_chunk:]))
     return total
 
 

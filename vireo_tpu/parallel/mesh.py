@@ -111,12 +111,36 @@ def fit_vb_auto(mesh, counts, state, priors, cfg, **fit_kwargs):
 
 
 def warm_restarts_auto(mesh, counts, states_batched, priors, cfg,
-                       **fit_kwargs):
-    """Multi-init warm fits on a cell-sharded mesh: counts/ID_prob are
-    sharded over cells, the restart axis is vmapped — XLA batches the
-    per-restart matmuls to full MXU width while reading the data once
-    and inserts the per-iteration all-reduces."""
+                       shard_axis="cells", **fit_kwargs):
+    """Multi-init warm fits on a mesh. Two fan-out layouts:
+
+    - shard_axis="cells" (default): counts/ID_prob sharded over cells,
+      the restart axis vmapped — XLA batches the per-restart matmuls to
+      full MXU width while reading the data once, inserting the
+      per-iteration all-reduces. Right when the data dominates HBM.
+    - shard_axis="restarts": data replicated, the restart batch split
+      across devices — zero per-iteration communication (each device
+      fits its own restarts; the best-ELBO argmax happens on the
+      gathered vector afterwards). Right when data is small and
+      restarts are many (the reference's Pool-over-restarts,
+      vireo_wrap.py:74-83, mapped to chips).
+    """
     assert isinstance(counts, DenseCounts), "auto path expects DenseCounts"
+    if shard_axis == "restarts":
+        rep = NamedSharding(mesh, P())
+        restart_sh = NamedSharding(mesh, P(CELL_AXIS))  # leading R axis
+        counts = DenseCounts(jax.device_put(counts.ad, rep),
+                             jax.device_put(counts.dp, rep))
+        states_batched = jax.tree.map(
+            lambda x: jax.device_put(
+                x, NamedSharding(mesh, P(*((CELL_AXIS,)
+                                           + (None,) * (x.ndim - 1))))),
+            states_batched)
+        del restart_sh
+        priors = jax.tree.map(lambda x: jax.device_put(x, rep), priors)
+        return jax.vmap(lambda st: fit_vb(counts, st, priors, cfg,
+                                          **fit_kwargs))(states_batched)
+
     cell_sh = NamedSharding(mesh, P(None, CELL_AXIS))
     id_sh = NamedSharding(mesh, P(None, CELL_AXIS, None))  # (R, C, K)
     rep = NamedSharding(mesh, P())
