@@ -59,6 +59,23 @@ def worker(pid, nproc):
                          min_iter=30, max_iter=30)
     jax.block_until_ready(r30.elbo_final)
     dt = time.time() - t0
+    # dense path via the per-process cell-range loader: each process
+    # reads only its columns of the bundled demo data, the global
+    # array is assembled with make_array_from_process_local_data
+    from vireo_tpu.parallel.loader import (load_cellSNP_sharded,
+                                           dense_counts_from_local)
+    from vireo_tpu.parallel.mesh import fit_vb_auto
+    dat, dmeta = load_cellSNP_sharded("/root/reference/data/cellSNP_mat")
+    dcounts = dense_counts_from_local(mesh, dat["AD"], dat["DP"], dmeta)
+    dcfg = VireoConfig(n_var=dcounts.n_var, n_cell=dcounts.n_cell,
+                       n_donor=4)
+    drng = np.random.RandomState(2)
+    dstate = init_state(dcfg, rng=drng, dtype=np.float32)
+    dpriors = default_priors(dcfg, dtype=np.float32)
+    dres = fit_vb_auto(mesh, dcounts, dstate, dpriors, dcfg,
+                       min_iter=1, max_iter=1)
+    jax.block_until_ready(dres.elbo_final)
+
     if pid == 0:
         print(json.dumps({
             "metric": "multiprocess_elbo",
@@ -66,6 +83,7 @@ def worker(pid, nproc):
             "n_devices": n_dev,
             "elbo1": float(r1.elbo_final),
             "elbo30": float(r30.elbo_final),
+            "dense_loader_elbo1": float(dres.elbo_final),
             "fit_s": round(dt, 3),
         }))
 
@@ -95,9 +113,24 @@ def single_process_elbo():
                         min_iter=1, max_iter=1)
     r30 = sharded_fit_vb(mesh, arrays, meta, state, priors, cfg,
                          min_iter=30, max_iter=30)
+
+    from vireo_tpu.parallel.loader import (load_cellSNP_sharded,
+                                           dense_counts_from_local)
+    from vireo_tpu.parallel.mesh import fit_vb_auto
+    dat, dmeta = load_cellSNP_sharded("/root/reference/data/cellSNP_mat")
+    dcounts = dense_counts_from_local(mesh, dat["AD"], dat["DP"], dmeta)
+    dcfg = VireoConfig(n_var=dcounts.n_var, n_cell=dcounts.n_cell,
+                       n_donor=4)
+    drng = np.random.RandomState(2)
+    dstate = init_state(dcfg, rng=drng, dtype=np.float32)
+    dpriors = default_priors(dcfg, dtype=np.float32)
+    dres = fit_vb_auto(mesh, dcounts, dstate, dpriors, dcfg,
+                       min_iter=1, max_iter=1)
+
     print(json.dumps({"metric": "singleprocess_elbo",
                       "elbo1": float(r1.elbo_final),
-                      "elbo30": float(r30.elbo_final)}))
+                      "elbo30": float(r30.elbo_final),
+                      "dense_loader_elbo1": float(dres.elbo_final)}))
 
 
 def main():
@@ -126,6 +159,9 @@ def main():
     # is loose — both runs converge to the same assignments.
     rel1 = abs(multi["elbo1"] - single["elbo1"]) / abs(single["elbo1"])
     rel30 = abs(multi["elbo30"] - single["elbo30"]) / abs(single["elbo30"])
+    reld = (abs(multi["dense_loader_elbo1"] - single["dense_loader_elbo1"])
+            / abs(single["dense_loader_elbo1"]))
+    assert reld < 1e-5, reld
     print(json.dumps({
         "metric": "multihost_elbo_parity",
         "value": rel1,

@@ -146,3 +146,29 @@ def test_warm_restarts_sharded_restarts(small_data):
                                min_iter=5, max_iter=10)
     np.testing.assert_allclose(np.asarray(res_r.elbo_ref),
                                np.asarray(res_c.elbo_ref), rtol=1e-4)
+
+
+def test_sharded_loader_single_process():
+    """Per-process cell-range loading (single-process degenerate case):
+    the assembled DenseCounts equals the full read."""
+    import numpy as np
+    import jax.numpy as jnp
+    from vireo_tpu.parallel.loader import (process_cell_range,
+                                           load_cellSNP_sharded,
+                                           dense_counts_from_local)
+    from vireo_tpu.parallel.mesh import make_mesh
+    from vireo_tpu.io.matrices import read_cellSNP
+
+    lo, hi, c_local = process_cell_range(100, process_id=2, n_processes=3)
+    assert (lo, hi, c_local) == (68, 100, 34)
+
+    dat, meta = load_cellSNP_sharded("/root/reference/data/cellSNP_mat")
+    full = read_cellSNP("/root/reference/data/cellSNP_mat")
+    assert meta[:2] == (0, 952)
+    assert (dat["AD"] != full["AD"]).nnz == 0
+
+    mesh = make_mesh(n_devices=4)
+    counts = dense_counts_from_local(mesh, dat["AD"], dat["DP"], meta)
+    np.testing.assert_array_equal(
+        np.asarray(counts.ad, np.int32),
+        np.minimum(np.asarray(full["AD"].todense()), 127).astype(np.int32))

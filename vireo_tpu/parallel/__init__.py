@@ -1,1 +1,2 @@
 from . import mesh
+from . import loader
