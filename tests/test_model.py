@@ -142,3 +142,62 @@ def test_vireo_class_api(small_data):
     np.testing.assert_allclose(model.ID_prob.sum(1), 1.0, rtol=1e-9)
     np.testing.assert_allclose(model.GT_prob.sum(-1), 1.0, rtol=1e-9)
     assert len(model.ELBO_) > 1
+
+
+def test_em_step_parity_fix_beta_sum(small_data, reference):
+    """fix_beta_sum freezes the Beta concentration
+    (vireo_model.py:184-185)."""
+    AD, DP, _ = small_data
+    n_var, n_cell = AD.shape
+    K = 3
+    np.random.seed(7)
+    ref_model = reference.Vireo(n_cell=n_cell, n_var=n_var, n_donor=K,
+                                fix_beta_sum=True)
+    ref_model.set_prior()
+    cfg = VireoConfig(n_var=n_var, n_cell=n_cell, n_donor=K,
+                      fix_beta_sum=True)
+    np.random.seed(7)
+    state = init_state(cfg, dtype=jnp.float64)
+    priors = default_priors(cfg, dtype=jnp.float64)
+    counts = dense_counts(AD, DP, dtype=jnp.float64)
+    beta_sum0 = np.asarray(state.beta_sum).copy()
+    ADc, DPc = AD.tocsc(), DP.tocsc()
+    for _ in range(2):
+        ref_elbo = _ref_one_iter(ref_model, ADc, DPc)
+        state, _, elbo = em_step(counts, state, priors, cfg,
+                                 update_theta=True)
+        np.testing.assert_allclose(np.asarray(state.beta_sum), beta_sum0)
+        np.testing.assert_allclose(np.asarray(state.beta_mu),
+                                   ref_model.beta_mu, rtol=1e-9)
+        np.testing.assert_allclose(float(elbo), ref_elbo, rtol=1e-9)
+
+
+def test_em_step_parity_learn_theta_false(small_data, reference):
+    """learn_theta=False pins theta entirely (vireo_model.py:258)."""
+    AD, DP, _ = small_data
+    n_var, n_cell = AD.shape
+    K = 3
+    np.random.seed(9)
+    ref_model = reference.Vireo(n_cell=n_cell, n_var=n_var, n_donor=K,
+                                learn_theta=False)
+    ref_model.set_prior()
+    cfg = VireoConfig(n_var=n_var, n_cell=n_cell, n_donor=K,
+                      learn_theta=False)
+    np.random.seed(9)
+    state = init_state(cfg, dtype=jnp.float64)
+    priors = default_priors(cfg, dtype=jnp.float64)
+    counts = dense_counts(AD, DP, dtype=jnp.float64)
+    mu0 = np.asarray(state.beta_mu).copy()
+    ADc, DPc = AD.tocsc(), DP.tocsc()
+    for _ in range(2):
+        if ref_model.learn_GT:
+            ref_model.update_GT_prob(ADc, DPc)
+        logLik_ID = ref_model.update_ID_prob(ADc, DPc)
+        ref_elbo = ref_model.get_ELBO(logLik_ID)
+        state, _, elbo = em_step(counts, state, priors, cfg,
+                                 update_theta=True)
+        np.testing.assert_allclose(np.asarray(state.beta_mu), mu0)
+        np.testing.assert_allclose(np.asarray(state.gt_prob),
+                                   ref_model.GT_prob, rtol=1e-7,
+                                   atol=1e-12)
+        np.testing.assert_allclose(float(elbo), ref_elbo, rtol=1e-9)
