@@ -55,9 +55,14 @@ def add_doublet_GT(GT_prob):
     return jnp.concatenate([GT_singlet, GT_pairs], axis=1)
 
 
+@jax.jit
 def doublet_loglik(counts, gt_both, beta_mu_both, beta_sum_both):
     """(n_cell, K + C(K,2)) assignment log-likelihood over the expanded
-    space (vireo_doublet.py:52-62), fused as two weight matrices."""
+    space (vireo_doublet.py:52-62), fused as two weight matrices.
+
+    Jitted: eagerly, the int8->bf16 operand cast inside cell_loglik
+    materializes matrix-sized copies (2 x 6 GB at 30k x 100k) instead
+    of fusing into the matmul read."""
     d1, d2, ds = digamma_triplet(beta_mu_both * beta_sum_both,
                                  (1.0 - beta_mu_both) * beta_sum_both)
     Wa = jnp.sum(gt_both * d1[:, None, :], axis=-1)

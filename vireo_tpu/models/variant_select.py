@@ -10,6 +10,7 @@ Re-implements /root/reference/vireoSNP/utils/variant_select.py:
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax.scipy.special import digamma
 from jax.nn import logsumexp
@@ -69,9 +70,13 @@ def variant_select(GT, var_count=None, rand_seed=0):
     return entropy_now, barcode_set, variant_set
 
 
+@jax.jit
 def variant_ELBO_gain(counts, ID_prob, pseudocount=0.5):
     """ELBO gain of the multi-donor model over a single-donor model per
-    variant (variant_select.py:66-106), on the Counts abstraction."""
+    variant (variant_select.py:66-106), on the Counts abstraction.
+
+    Jitted so the int8->bf16 operand cast in suff_stats fuses into the
+    matmul read instead of materializing matrix-sized copies."""
     ID_prob = jnp.asarray(ID_prob)
     S1, SS = counts.suff_stats(ID_prob)
     s1 = S1 + pseudocount

@@ -269,6 +269,13 @@ def em_step(counts, state, priors, cfg, update_theta, axis_name=None):
     return new_state, loglik_id, elbo
 
 
+# jitted em_step for the eager single-step refresh APIs: without jit,
+# the int8->bf16 operand casts materialize matrix-sized copies at
+# 100k-cell scale instead of fusing into the matmuls
+_em_step_jit = partial(jax.jit, static_argnames=("cfg", "axis_name"))(
+    em_step)
+
+
 @partial(jax.jit, static_argnames=("cfg", "max_iter", "min_iter",
                                    "delay_fit_theta", "axis_name"))
 def fit_vb(counts, state, priors, cfg, max_iter=200, min_iter=5,
@@ -467,8 +474,8 @@ class Vireo:
         counts = self._as_counts(AD, DP)
         cfg_fixed = dataclasses.replace(self.config, learn_GT=False,
                                         learn_theta=False)
-        st, loglik_id, _ = em_step(counts, self.state, self.priors,
-                                   cfg_fixed, update_theta=False)
+        st, loglik_id, _ = _em_step_jit(counts, self.state, self.priors,
+                                        cfg_fixed, update_theta=False)
         self.state = st
         return np.asarray(loglik_id)
 
@@ -478,6 +485,6 @@ class Vireo:
         cfg = dataclasses.replace(self.config, learn_GT=True,
                                   learn_theta=False)
         keep_id = self.state.id_prob
-        st, _, _ = em_step(counts, self.state, self.priors, cfg,
-                           update_theta=False)
+        st, _, _ = _em_step_jit(counts, self.state, self.priors, cfg,
+                                update_theta=False)
         self.state = dataclasses.replace(st, id_prob=keep_id)
