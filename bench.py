@@ -90,10 +90,16 @@ def tpu_rate(n_var, n_cell, n_donor, n_iters, seed=1):
         return time.time() - t0, e
 
     t_compile, _ = run(1)
+    # The device sits behind a remote tunnel whose RPC latency can
+    # hiccup by whole seconds; take the min over repeats so one slow
+    # round-trip cannot corrupt (or even negate) the subtraction.
     n_short = 2
-    t_short, _ = run(n_short)
+    t_short = min(run(n_short)[0] for _ in range(3))
     t_long, elbo = run(n_short + n_iters)
+    t_long = min(t_long, run(n_short + n_iters)[0])
     per_iter = (t_long - t_short) / n_iters
+    if per_iter <= 0:  # calibration still noisier than the long run
+        per_iter = t_long / (n_short + n_iters)
     dev = jax.devices()[0]
     layout = ("fused_int8" if fused
               else ("dense_int8" if use_dense else "coo"))
