@@ -93,15 +93,8 @@ def build_parser():
 def main(argv=None):
     # VIREO_PLATFORM=cpu|tpu|axon overrides the JAX backend (useful when
     # a site config pins a default platform)
-    plat = os.environ.get("VIREO_PLATFORM")
-    if plat:
-        import jax
-        jax.config.update("jax_platforms", plat)
-    cache_dir = os.environ.get("VIREO_COMPILE_CACHE")
-    if cache_dir:
-        import jax
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from ..utils.platform import apply_platform_env
+    apply_platform_env()
 
     if argv is None:
         argv = sys.argv[1:]
