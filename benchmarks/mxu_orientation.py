@@ -83,13 +83,18 @@ def main():
     hbm = a.size * a.dtype.itemsize
     print(f"device={jax.devices()[0]}  V={V} C={C} K={K} "
           f"useful={useful/1e9:.1f} GFLOP  big-operand={hbm/2**20:.0f} MiB")
+    only = os.environ.get("MXU_CASES")
     for case, wshape in shapes.items():
+        if only and case not in only.split(","):
+            continue
         w = jnp.asarray(rng.rand(*wshape), jnp.bfloat16)
+        t0 = time.time()
         dt = measure(case, a, w)
         scale = 8.0 if case == "ctrl128" else 1.0
         print(f"{case:12s} {dt*1e3:7.3f} ms/matmul  "
               f"{useful*scale/dt/1e12:6.1f} TFLOP/s  "
-              f"{hbm/dt/2**30:7.1f} GiB/s")
+              f"{hbm/dt/2**30:7.1f} GiB/s  (case total {time.time()-t0:.0f}s)",
+              flush=True)
 
 
 if __name__ == "__main__":
