@@ -201,3 +201,58 @@ def test_em_step_parity_learn_theta_false(small_data, reference):
                                    ref_model.GT_prob, rtol=1e-7,
                                    atol=1e-12)
         np.testing.assert_allclose(float(elbo), ref_elbo, rtol=1e-9)
+
+
+# ---------------------------------------------------------------------
+# Runtime self-checks: the reference warns on ELBO decreases > 1e-6 and
+# on hitting max_iter without converging (vireo_model.py:265-272,
+# bmm_model.py:190-199). The device loop returns the full ELBO trace;
+# warnings are replayed host-side with the exact reference predicate.
+# ---------------------------------------------------------------------
+
+def test_warn_from_trace_decrease_and_nonconvergence(capsys):
+    from vireo_tpu.models.vireo import warn_from_trace
+
+    # decreasing trace past min_iter: CAVI is monotone by construction,
+    # so a genuine decrease only arises from numerical error; the
+    # warning logic is exercised on a synthetic trace instead.
+    trace = np.array([-100.0, -90.0, -80.0, -85.0, -70.0, -75.0])
+    n_dec = warn_from_trace(trace, n_iter=6, max_iter=200, min_iter=1)
+    out = capsys.readouterr().out
+    assert n_dec == 2
+    assert out.count("Warning: Lower bound decreases!") == 2
+
+    # max_iter hit without convergence
+    trace = np.array([-100.0, -90.0, -89.0, -88.0])
+    warn_from_trace(trace, n_iter=4, max_iter=4, min_iter=1)
+    out = capsys.readouterr().out
+    assert "Warning: VB did not converge!" in out
+
+    # bmm-style message carries the two ELBO values
+    trace = np.array([-100.0, -90.0, -95.0])
+    warn_from_trace(trace, n_iter=3, max_iter=200, min_iter=1, style="bmm")
+    out = capsys.readouterr().out
+    assert "Warning: ELBO decreases -90.00000000 to -95.00000000!" in out
+
+
+def test_fit_emits_nonconvergence_warning(small_data, capsys):
+    """End-to-end: a fit whose budget forces max_iter to be reached
+    surfaces the reference's self-check through Vireo.fit."""
+    from vireo_tpu.models.vireo import Vireo
+
+    AD, DP, _ = small_data
+    np.random.seed(3)
+    m = Vireo(n_cell=AD.shape[1], n_var=AD.shape[0], n_donor=3)
+    # min_iter=48 defers the convergence break until iteration 49,
+    # which is max_iter-1: the reference prints either the decrease or
+    # the non-convergence warning there, deterministically.
+    m.fit(AD, DP, max_iter=50, min_iter=48, verbose=True)
+    out = capsys.readouterr().out
+    assert ("Warning: VB did not converge!" in out
+            or "Warning: Lower bound decreases!" in out)
+
+    # and verbose=False stays silent (the wrapper's warm/refit path)
+    np.random.seed(3)
+    m = Vireo(n_cell=AD.shape[1], n_var=AD.shape[0], n_donor=3)
+    m.fit(AD, DP, max_iter=50, min_iter=48, verbose=False)
+    assert "Warning" not in capsys.readouterr().out

@@ -209,6 +209,16 @@ class BinomMixtureVB:
         best = int(np.argmax(elbo_ref))
         self.ELBO_inits = elbo_ref + binom_coeff
 
+        if verbose:
+            # reference's per-restart runtime self-checks
+            # (bmm_model.py:190-199), replayed from the device traces
+            from .vireo import warn_from_trace
+            traces_np = np.asarray(traces)
+            n_it_np = np.asarray(n_it)
+            for i in range(n_init):
+                warn_from_trace(traces_np[i], n_it_np[i], max_iter_pre,
+                                min_iter, style="bmm")
+
         best_state = jax.tree.map(lambda x: x[best], st_all)
         n_best = int(np.asarray(n_it)[best])
         warm_trace = np.asarray(traces)[best][:max(n_best - 1, 0)]
@@ -218,6 +228,10 @@ class BinomMixtureVB:
             min_iter=min_iter, epsilon_conv=epsilon_conv,
             fix_beta_sum=self.fix_beta_sum)
         self.state = jax.tree.map(jnp.asarray, jax.device_get(st))
+        if verbose:
+            from .vireo import warn_from_trace
+            warn_from_trace(np.asarray(trace2), int(it2), max_iter,
+                            min_iter, style="bmm")
         final_trace = np.asarray(trace2)[:max(int(it2) - 1, 0)]
         self.ELBO_iters = np.concatenate([warm_trace, final_trace]) \
             + binom_coeff

@@ -30,7 +30,32 @@ from ..ops.math import (normalize, softmax_from_loglik, kl_categorical,
 
 __all__ = ["VireoConfig", "VireoState", "VireoPriors", "FitResult",
            "em_step", "fit_vb", "init_state", "default_priors",
-           "random_init_arrays", "Vireo"]
+           "random_init_arrays", "warn_from_trace", "Vireo"]
+
+
+def warn_from_trace(trace, n_iter, max_iter, min_iter, style="vireo"):
+    """Replay the reference's runtime self-checks from a fit's ELBO
+    trace: warn on any ELBO decrease > 1e-6 past min_iter and on hitting
+    max_iter without convergence (vireo_model.py:265-272,
+    bmm_model.py:190-199). The device loop stays warning-free; the trace
+    it already returns carries enough to reproduce the exact host-side
+    prints. Returns the number of decreasing iterations.
+    """
+    trace = np.asarray(trace)
+    n_iter = int(n_iter)
+    n_decrease = 0
+    for it in range(n_iter):
+        if it > min_iter:
+            if trace[it] < trace[it - 1] - 1e-6:
+                n_decrease += 1
+                if style == "bmm":
+                    print("Warning: ELBO decreases %.8f to %.8f!\n"
+                          % (trace[it - 1], trace[it]))
+                else:
+                    print("Warning: Lower bound decreases!\n")
+            elif it == max_iter - 1:
+                print("Warning: VB did not converge!\n")
+    return n_decrease
 
 
 @dataclasses.dataclass(frozen=True)
@@ -462,6 +487,8 @@ class Vireo:
         res = jax.device_get(res)
         self.state = jax.tree.map(jnp.asarray, res.state)
         n_it = int(res.n_iter)
+        if verbose:
+            warn_from_trace(res.elbo_trace, n_it, max_iter, min_iter)
         # reference keeps ELBO[:it] where it is the last executed index
         elbo_hist = np.asarray(res.elbo_trace)[:max(n_it - 1, 0)]
         elbo_hist = elbo_hist + float(
