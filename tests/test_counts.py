@@ -56,3 +56,95 @@ def test_densify_roundtrip(small_data):
     d = s.densify()
     np.testing.assert_allclose(np.asarray(d.ad), AD.toarray())
     np.testing.assert_allclose(np.asarray(d.dp), DP.toarray())
+
+
+# ---------------------------------------------------------------------
+# Backend auto-selection ladder (counts_from_scipy) and the densify
+# overflow guard — the production fast-path plumbing.
+# ---------------------------------------------------------------------
+
+def _pair(vmax, n_var=30, n_cell=20, seed=0):
+    import scipy.sparse as sp
+    rng = np.random.RandomState(seed)
+    DP = (rng.rand(n_var, n_cell) < 0.3) * rng.randint(
+        1, max(int(vmax), 2), size=(n_var, n_cell))
+    DP.flat[0] = vmax  # pin the max
+    AD = (DP * rng.rand(n_var, n_cell)).astype(np.int64)
+    return sp.csc_matrix(AD.astype(float)), sp.csc_matrix(DP.astype(float))
+
+
+def test_counts_from_scipy_dtype_ladder():
+    from vireo_tpu.ops.counts import (counts_from_scipy, DenseCounts,
+                                      SparseCounts, exact_count_dtype)
+    assert exact_count_dtype(100) == jnp.int8
+    assert exact_count_dtype(200) == jnp.bfloat16
+    assert exact_count_dtype(5000) == jnp.float32
+
+    for vmax, want in ((90, jnp.int8), (200, jnp.bfloat16),
+                       (5000, jnp.float32)):
+        AD, DP = _pair(vmax)
+        c = counts_from_scipy(AD, DP, max_dense_elems=10)  # force ladder
+        assert isinstance(c, DenseCounts)
+        assert c.ad.dtype == want and c.dp.dtype == want
+        np.testing.assert_array_equal(
+            np.asarray(c.dp, np.float64), DP.toarray())
+        np.testing.assert_array_equal(
+            np.asarray(c.ad, np.float64), AD.toarray())
+
+    # dense cannot fit the budget -> COO backend
+    AD, DP = _pair(90)
+    c = counts_from_scipy(AD, DP, max_dense_elems=10, dense_budget=16)
+    assert isinstance(c, SparseCounts)
+
+    # small matrices keep the full-precision golden-parity path
+    c = counts_from_scipy(AD, DP, dtype=jnp.float64)
+    assert isinstance(c, DenseCounts) and c.ad.dtype == jnp.float64
+
+
+def test_densify_overflow_promotes(capsys):
+    from vireo_tpu.ops.counts import sparse_counts
+
+    AD, DP = _pair(200)
+    coo = sparse_counts(AD, DP)
+    dense = coo.densify(dtype=jnp.int8)  # must refuse to truncate
+    assert dense.dp.dtype == jnp.bfloat16
+    assert "exceed the exact range" in capsys.readouterr().out
+    np.testing.assert_array_equal(np.asarray(dense.dp, np.float64),
+                                  DP.toarray())
+
+    # unchecked int8 saturates (never wraps) — benchmark-only escape
+    clipped = coo.densify(dtype=jnp.int8, check_overflow=False)
+    assert clipped.dp.dtype == jnp.int8
+    assert float(jnp.max(clipped.dp)) == 127.0
+
+    # deep counts promote all the way to f32
+    AD, DP = _pair(5000)
+    dense = sparse_counts(AD, DP).densify(dtype=jnp.int8)
+    assert dense.dp.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(dense.dp, np.float64),
+                                  DP.toarray())
+
+
+def test_em_on_auto_int8_matches_f64(small_data):
+    """The int8 MXU layout runs the same EM trajectory as float64 at
+    small scale (counts are exact integers in both)."""
+    from vireo_tpu.ops.counts import counts_from_scipy, dense_counts
+    from vireo_tpu.models.vireo import (VireoConfig, init_state,
+                                        default_priors, fit_vb)
+
+    AD, DP, _ = small_data
+    c8 = counts_from_scipy(AD, DP, max_dense_elems=10)
+    assert c8.ad.dtype == jnp.int8
+    c64 = dense_counts(AD, DP, dtype=jnp.float64)
+
+    cfg = VireoConfig(n_var=AD.shape[0], n_cell=AD.shape[1], n_donor=3)
+    np.random.seed(7)
+    state = init_state(cfg, dtype=jnp.float64)
+    priors = default_priors(cfg, dtype=jnp.float64)
+    r8 = fit_vb(c8, state, priors, cfg, max_iter=12, min_iter=3)
+    r64 = fit_vb(c64, state, priors, cfg, max_iter=12, min_iter=3)
+    np.testing.assert_allclose(float(r8.elbo_final),
+                               float(r64.elbo_final), rtol=1e-6)
+    np.testing.assert_array_equal(
+        np.argmax(np.asarray(r8.state.id_prob), 1),
+        np.argmax(np.asarray(r64.state.id_prob), 1))

@@ -172,3 +172,65 @@ def test_sharded_loader_single_process():
     np.testing.assert_array_equal(
         np.asarray(counts.ad, np.int32),
         np.minimum(np.asarray(full["AD"].todense()), 127).astype(np.int32))
+
+
+def test_wrap_auto_mesh_int8_end_to_end(monkeypatch):
+    """The production path at scale: vireo_wrap(mesh="auto") builds a
+    mesh over all local devices and runs the dense-int8 sharded layout;
+    donor calls bit-match the single-device run of the SAME layout
+    (VERDICT item 1 done-criterion)."""
+    from vireo_tpu.sim.synth import synth_pool_counts
+    from vireo_tpu.ops.counts import counts_from_scipy
+    from vireo_tpu.engine.wrap import vireo_wrap, _resolve_mesh
+
+    d = synth_pool_counts(n_var=200, n_cell=1600, n_donor=4,
+                          doublet_rate=0.06, density=0.3,
+                          mean_extra_depth=2.0, seed=5)
+    monkeypatch.setenv("VIREO_MESH_MIN_CELLS", "64")
+    mesh = _resolve_mesh("auto", 1600)
+    assert mesh is not None and mesh.devices.size == N_DEV
+
+    # same int8 device layout for both runs (the at-scale CLI choice)
+    counts = counts_from_scipy(d["AD"], d["DP"], max_dense_elems=10)
+    assert counts.ad.dtype == jnp.int8
+
+    kw = dict(n_donor=4, learn_GT=True, n_init=4, random_seed=11,
+              check_doublet=True, verbose=False)
+    res_m = vireo_wrap(counts, mesh=mesh, **kw)
+    res_1 = vireo_wrap(counts, mesh=None, **kw)
+
+    # All restarts converge to the same optimum modulo donor-label
+    # permutation with ELBOs tied within float noise, so the selected
+    # labeling may legitimately differ under a different reduction
+    # order; compare after Hungarian alignment (the reference's own
+    # cross-run comparison, vireo_base.py:187-206).
+    from vireo_tpu.ops.matching import optimal_match
+    idx = optimal_match(res_1["GT_prob"], res_m["GT_prob"])[1]
+    id_m = res_m["ID_prob"][:, idx]
+
+    assert (np.argmax(id_m, 1) == np.argmax(res_1["ID_prob"], 1)).all()
+    np.testing.assert_allclose(id_m, res_1["ID_prob"], atol=1e-3)
+    np.testing.assert_allclose(res_m["LB_doublet"], res_1["LB_doublet"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(res_m["doublet_LLR"], res_1["doublet_LLR"],
+                               rtol=1e-3, atol=0.05)
+
+    # truth recovery sanity on the mesh result
+    calls = np.argmax(res_m["ID_prob"], 1)
+    singlet = d["donor2"] < 0
+    from scipy.optimize import linear_sum_assignment
+    conf = np.zeros((4, 4))
+    for t, c in zip(d["donor"][singlet], calls[singlet]):
+        conf[t, c] += 1
+    ri, ci = linear_sum_assignment(-conf)
+    assert conf[ri, ci].sum() / singlet.sum() > 0.95
+
+
+def test_resolve_mesh_gates(monkeypatch):
+    from vireo_tpu.engine.wrap import _resolve_mesh
+    monkeypatch.setenv("VIREO_MESH_MIN_CELLS", "1000")
+    assert _resolve_mesh("auto", 500) is None          # too small
+    assert _resolve_mesh("auto", 2000) is not None     # big enough
+    assert _resolve_mesh(None, 2000) is None           # explicit off
+    monkeypatch.setenv("VIREO_MESH", "off")
+    assert _resolve_mesh("auto", 2000) is None         # env kill switch

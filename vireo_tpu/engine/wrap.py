@@ -23,10 +23,40 @@ from ..models.ambient import predit_ambient
 __all__ = ["vireo_wrap"]
 
 
-def _as_counts(AD, DP, dtype):
+def _cell_sharding(mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel.mesh import CELL_AXIS
+    return NamedSharding(mesh, P(None, CELL_AXIS))
+
+
+def _resolve_mesh(mesh, n_cell):
+    """mesh="auto": shard cells over all local devices when the data is
+    big enough to pay for collectives (VIREO_MESH=off disables;
+    VIREO_MESH_MIN_CELLS tunes the threshold). Explicit Mesh / None pass
+    through."""
+    if mesh != "auto":
+        return mesh
+    import os
+    if os.environ.get("VIREO_MESH", "auto").lower() in ("0", "off", "no"):
+        return None
+    min_cells = int(os.environ.get("VIREO_MESH_MIN_CELLS", 8192))
+    if n_cell >= min_cells and len(jax.devices()) > 1:
+        from ..parallel.mesh import make_mesh
+        return make_mesh()
+    return None
+
+
+def _as_counts(AD, DP, dtype, mesh=None, verbose=False):
     if isinstance(AD, (DenseCounts, SparseCounts)):
-        return AD
-    return counts_from_scipy(AD, DP, dtype=dtype)
+        counts = AD
+        if mesh is not None and isinstance(counts, DenseCounts):
+            sh = _cell_sharding(mesh)
+            counts = DenseCounts(jax.device_put(counts.ad, sh),
+                                 jax.device_put(counts.dp, sh))
+        return counts
+    sharding = _cell_sharding(mesh) if mesh is not None else None
+    return counts_from_scipy(AD, DP, dtype=dtype, sharding=sharding,
+                             verbose=verbose)
 
 
 def _model_from_state(counts, cfg_kwargs, n_donor, learn_GT, state,
@@ -46,7 +76,7 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
                n_init=20, random_seed=None, check_doublet=True,
                max_iter_init=20, delay_fit_theta=3, n_extra_donor=0,
                extra_donor_mode="distance", check_ambient=False,
-               nproc=None, dtype=jnp.float32, verbose=True, mesh=None,
+               nproc=None, dtype=jnp.float32, verbose=True, mesh="auto",
                **kwargs):
     """Run vireo with multiple initializations; returns the reference's
     result dict (vireo_wrap.py:170-183).
@@ -55,18 +85,20 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
     vmapped on device). `kwargs` may carry model flags (ASE_mode,
     fix_beta_sum, learn_theta, n_GT).
 
-    `mesh`: optional `jax.sharding.Mesh` — dense counts and the cell
+    `mesh`: "auto" (default) builds a cell-sharded mesh over all local
+    devices when the pool is large enough; pass an explicit
+    `jax.sharding.Mesh` or None to override. Dense counts and the cell
     axis are sharded across it (sufficient statistics all-reduced each
-    iteration); XLA propagates the sharding through the refit and
-    doublet phases.
+    iteration); XLA propagates the sharding through the warm restarts,
+    refit and doublet phases.
     """
-    counts = _as_counts(AD, DP, dtype)
-    if mesh is not None and isinstance(counts, DenseCounts):
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        from ..parallel.mesh import CELL_AXIS
-        cell_sh = NamedSharding(mesh, P(None, CELL_AXIS))
-        counts = DenseCounts(jax.device_put(counts.ad, cell_sh),
-                             jax.device_put(counts.dp, cell_sh))
+    n_cell_in = AD.n_cell if isinstance(AD, (DenseCounts, SparseCounts)) \
+        else int(AD.shape[1])
+    mesh = _resolve_mesh(mesh, n_cell_in)
+    if mesh is not None and verbose:
+        print("[vireo] cell axis sharded over %d devices"
+              % mesh.devices.size)
+    counts = _as_counts(AD, DP, dtype, mesh=mesh, verbose=verbose)
 
     if learn_GT is False and n_extra_donor > 0:
         print("Searching from extra donors only works with learn_GT")
@@ -105,6 +137,15 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
     states = [init_state(cfg, GT_prob_init=GT_prior_use, rng=rng,
                          dtype=dtype) for _ in range(n_init)]
     batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    if mesh is not None and isinstance(counts, DenseCounts):
+        # place the (R, C, K) assignment batch cell-sharded next to the
+        # data; GT/theta stay replicated (they are all-reduced anyway)
+        import dataclasses
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import CELL_AXIS
+        id_sh = NamedSharding(mesh, P(None, CELL_AXIS, None))
+        batched = dataclasses.replace(
+            batched, id_prob=jax.device_put(batched.id_prob, id_sh))
     warm = jax.vmap(lambda st: fit_vb(
         counts, st, priors, cfg, max_iter=max_iter_init, min_iter=5,
         delay_fit_theta=delay_fit_theta))(batched)

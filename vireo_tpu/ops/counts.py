@@ -35,6 +35,7 @@ from .math import log_binom_coeff
 __all__ = [
     "Counts", "DenseCounts", "SparseCounts",
     "dense_counts", "sparse_counts", "counts_from_scipy",
+    "exact_count_dtype", "device_dense_budget",
 ]
 
 
@@ -173,22 +174,49 @@ class SparseCounts:
             (self.dp_c > 0).astype(jnp.int32), self.cols_c,
             num_segments=self.n_cell, indices_are_sorted=True)
 
-    def densify(self, dtype=None):
+    def max_count(self):
+        """Largest count value (host float) — the densify dtype guard."""
+        return float(jnp.maximum(jnp.max(self.ad_r), jnp.max(self.dp_r)))
+
+    def densify(self, dtype=None, check_overflow=True, sharding=None):
         """Scatter the COO triplets into dense (n_var, n_cell) arrays on
         device without ever materializing a dense matrix on host.
 
-        `dtype=bfloat16` (counts <= 256 exact) or `int8` (counts clipped
-        to 127; half the HBM bytes) build the fast MXU representations.
+        `dtype=bfloat16` (counts <= 256 exact) or `int8` (counts <= 127
+        exact; half the HBM bytes) build the fast MXU representations.
+        `check_overflow` (default) promotes the dtype when any count
+        exceeds the exact range instead of silently truncating — real
+        scRNA depth can exceed 127 at hot sites even when the bulk of
+        the matrix is tiny.
+
+        `sharding` (optional NamedSharding) builds the dense arrays
+        directly into the sharded layout, avoiding a replicated
+        matrix-sized intermediate on multi-device meshes.
         """
         dtype = dtype or self.ad_r.dtype
-        ad_v, dp_v = self.ad_r, self.dp_r
-        if dtype == jnp.int8:
-            ad_v = jnp.clip(ad_v, 0, 127)
-            dp_v = jnp.clip(dp_v, 0, 127)
-        ad = jnp.zeros(self.shape, dtype).at[
-            self.rows_r, self.cols_r].add(ad_v.astype(dtype))
-        dp = jnp.zeros(self.shape, dtype).at[
-            self.rows_r, self.cols_r].add(dp_v.astype(dtype))
+        if check_overflow and dtype in (jnp.int8, jnp.bfloat16):
+            vmax = self.max_count()
+            promoted = exact_count_dtype(vmax)
+            if (dtype == jnp.int8 and vmax > 127) or \
+                    (dtype == jnp.bfloat16 and vmax > 256):
+                print("[vireo] counts up to %.0f exceed the exact range "
+                      "of %s; using %s" % (vmax, jnp.dtype(dtype).name,
+                                           jnp.dtype(promoted).name))
+                dtype = promoted
+
+        def scatter(ad_v, dp_v, rows, cols):
+            if dtype == jnp.int8:  # saturate, never wrap, if unchecked
+                ad_v = jnp.clip(ad_v, 0, 127)
+                dp_v = jnp.clip(dp_v, 0, 127)
+            ad = jnp.zeros(self.shape, dtype).at[rows, cols].add(
+                ad_v.astype(dtype))
+            dp = jnp.zeros(self.shape, dtype).at[rows, cols].add(
+                dp_v.astype(dtype))
+            return ad, dp
+
+        if sharding is not None:
+            scatter = jax.jit(scatter, out_shardings=(sharding, sharding))
+        ad, dp = scatter(self.ad_r, self.dp_r, self.rows_r, self.cols_r)
         return DenseCounts(ad, dp)
 
 
@@ -292,16 +320,91 @@ def sparse_counts(AD, DP, dtype=jnp.float32, pad_multiple=8192):
     )
 
 
-def counts_from_scipy(AD, DP, dtype=jnp.float32, max_dense_elems=64_000_000):
-    """Pick a backend: dense when the matrix comfortably fits, else COO.
+def exact_count_dtype(vmax):
+    """Smallest dtype representing integer counts up to `vmax` exactly
+    AND feeding the MXU fast: int8 (1 B, <=127), bfloat16 (2 B, <=256,
+    8-bit mantissa), else float32 (4 B, <=2^24)."""
+    if vmax <= 127:
+        return jnp.int8
+    if vmax <= 256:
+        return jnp.bfloat16
+    return jnp.float32
+
+
+def _scipy_max(X):
+    """Max entry of a scipy-sparse / numpy count matrix, host-side."""
+    if hasattr(X, "data"):
+        return float(X.data.max()) if X.nnz else 0.0
+    return float(np.max(X)) if X.size else 0.0
+
+
+def device_dense_budget():
+    """HBM bytes available for the two dense count matrices.
+
+    Uses the default device's reported memory limit when the backend
+    exposes one (TPU does), minus headroom for posteriors and fusion
+    temporaries; overridable via VIREO_DENSE_BUDGET_GB. Host platforms
+    without a limit get a 16 GiB default.
+    """
+    import os
+    env = os.environ.get("VIREO_DENSE_BUDGET_GB")
+    if env:
+        return float(env) * 2**30
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit")
+        if limit:
+            return 0.55 * limit
+    except Exception:
+        pass
+    return 16 * 2**30
+
+
+def counts_from_scipy(AD, DP, dtype=jnp.float32, max_dense_elems=64_000_000,
+                      dense_budget=None, sharding=None, verbose=False):
+    """Pick the TPU-side representation for a scipy/numpy AD-DP pair.
 
     Mirrors (inverted) the reference's dense->sparse auto-conversion
-    heuristic (vireo_wrap.py:29-34): on TPU, small matrices are *faster
-    dense* (MXU), large sparse ones use segment-sum.
+    heuristic (vireo_wrap.py:29-34): on TPU, dense MXU matmuls beat
+    scatter-based segment-sum by an order of magnitude, so dense is
+    preferred whenever it fits:
+
+    - small matrices (<= max_dense_elems) stay dense in the caller's
+      `dtype` (float32 default: full-precision trajectories, the
+      golden-parity configuration);
+    - larger matrices densify ON DEVICE via COO scatter into the
+      smallest dtype that holds every count exactly (int8 <= 127,
+      bf16 <= 256, f32 — see `exact_count_dtype`), sharded per
+      `sharding` if given, as long as both matrices fit `dense_budget`;
+    - only when dense genuinely cannot fit does the padded-COO
+      segment-sum backend take over.
     """
-    import scipy.sparse as sp
-    shape = AD.shape
-    n_elems = int(shape[0]) * int(shape[1])
+    n_elems = int(AD.shape[0]) * int(AD.shape[1])
     if n_elems <= max_dense_elems:
-        return dense_counts(AD, DP, dtype=dtype)
-    return sparse_counts(AD, DP, dtype=dtype)
+        c = dense_counts(AD, DP, dtype=dtype)
+        if sharding is not None:
+            c = DenseCounts(jax.device_put(c.ad, sharding),
+                            jax.device_put(c.dp, sharding))
+        return c
+
+    vmax = max(_scipy_max(AD), _scipy_max(DP))
+    dense_dtype = exact_count_dtype(vmax)
+    budget = dense_budget if dense_budget is not None \
+        else device_dense_budget()
+    need = 2 * n_elems * jnp.dtype(dense_dtype).itemsize
+    coo = sparse_counts(AD, DP, dtype=dtype)
+    if need <= budget:
+        if verbose:
+            print("[vireo] %dx%d counts (max %.0f) densified on device "
+                  "as %s (%.1f GiB)" % (AD.shape[0], AD.shape[1], vmax,
+                                        jnp.dtype(dense_dtype).name,
+                                        need / 2**30))
+        dense = coo.densify(dtype=dense_dtype, check_overflow=False,
+                            sharding=sharding)
+        del coo  # free the COO triplets before the fit allocates
+        return dense
+    if verbose:
+        print("[vireo] %dx%d counts too large for dense HBM layout "
+              "(%.1f GiB > budget %.1f GiB); using COO segment-sum"
+              % (AD.shape[0], AD.shape[1], need / 2**30, budget / 2**30))
+    return coo
