@@ -93,3 +93,44 @@ def test_reference_import_path_aliases():
                 read_cellSNP, write_donor_id, normalize, optimal_match,
                 get_confusion, variant_select):
         assert callable(obj)
+
+
+def test_bulk_parity_vs_reference(reference):
+    """VireoBulk EM (device while_loop) matches the reference host EM:
+    same psi/theta trajectory and LR test (vireo_bulk.py:44-167)."""
+    import sys
+    sys.path.insert(0, "/root/reference")
+    from vireoSNP.utils.vireo_bulk import (VireoBulk as RefBulk,
+                                           LikRatio_test as ref_LR)
+    from vireo_tpu.models.bulk import VireoBulk, LikRatio_test
+
+    rng = np.random.RandomState(4)
+    n_var, K, G = 80, 3, 3
+    GT_prob = rng.dirichlet([1.0] * G, size=(n_var, K))
+    psi_true = np.array([0.6, 0.3, 0.1])
+    theta = np.array([0.01, 0.5, 0.99])
+    rate = (GT_prob @ theta) @ psi_true
+    DP = rng.poisson(60, size=n_var) + 1
+    AD = rng.binomial(DP, rate)
+
+    np.random.seed(42)  # psi init draws from the global stream
+    ref = RefBulk(n_donor=K)
+    ref.fit(AD.astype(float), DP.astype(float), GT_prob)
+    np.random.seed(42)
+    ours = VireoBulk(n_donor=K)
+    ours.fit(AD, DP, GT_prob)
+
+    np.testing.assert_allclose(ours.psi, ref.psi, rtol=1e-8)
+    np.testing.assert_allclose(ours.theta, np.asarray(ref.theta, float),
+                               rtol=1e-8)
+    np.testing.assert_allclose(ours.logLik, ref.logLik, rtol=1e-10)
+    assert len(ours.logLik_all) == len(ref.logLik_all)
+
+    psi_null = np.ones(K) / K
+    lr_o, p_o = LikRatio_test(ours.psi, psi_null, AD, DP, GT_prob,
+                              ours.theta)
+    lr_r, p_r = ref_LR(ref.psi, psi_null, AD.astype(float),
+                       DP.astype(float), GT_prob,
+                       np.asarray(ref.theta, float))
+    np.testing.assert_allclose(lr_o, lr_r, rtol=1e-8)
+    np.testing.assert_allclose(p_o, p_r, rtol=1e-6)

@@ -18,56 +18,113 @@ from jax.nn import logsumexp
 __all__ = ["barcode_entropy", "variant_select", "variant_ELBO_gain"]
 
 
+def _sorted_group_sizes(codes):
+    """Canonical (descending) group-size vector of an integer labeling.
+
+    Sorting the sizes makes the base-2 entropy of two labelings with the
+    same partition structure bitwise identical, so the greedy loop's
+    exact-equality tie detection is stable.
+    """
+    sizes = np.unique(codes, return_counts=True)[1]
+    sizes[::-1].sort()
+    return sizes
+
+
 def barcode_entropy(X, y=None):
-    """Entropy (base 2) of categorical barcode strings
-    (variant_select.py:5-19)."""
+    """Entropy (base 2) of the donor partition induced by barcode list
+    `X`, optionally refined by the categories in `y`; returns
+    (entropy, refined barcode strings). Reference semantics
+    (variant_select.py:5-19): the barcode of donor k is the
+    concatenation str(X[k]) + str(y[k]).
+    """
     if y is None:
         Z_str = [str(x) for x in X]
-    elif len(X) == len(y):
-        Z_str = [str(X[i]) + str(y[i]) for i in range(len(X))]
     else:
-        print("Error: X and y have different length in barcode_entropy.")
-        return None, None
-    _, cnt = np.unique(Z_str, return_counts=True)
-    p = cnt / cnt.sum()
+        if len(X) != len(y):
+            print("Error: X and y have different length in "
+                  "barcode_entropy.")
+            return None, None
+        Z_str = [str(a) + str(b) for a, b in zip(X, y)]
+    sizes = _sorted_group_sizes(np.asarray(Z_str))
+    p = sizes / len(Z_str)
     return float(-(p * np.log2(p)).sum()), Z_str
 
 
+def _refinement_entropies(group, codes, n_codes):
+    """Base-2 entropy of every candidate refinement, fully vectorized.
+
+    group: (K,) current donor-partition labels; codes: (n_var, K)
+    per-variant category labels. Refining donor partition `group` by
+    variant i partitions donors by the pair (group[k], codes[i, k]).
+    Returns (n_var,) entropies plus the pair keys for later reuse.
+    """
+    n_var, K = codes.shape
+    pair = group[None, :].astype(np.int64) * n_codes + codes  # (V, K)
+
+    # run-length count the groups of each row after an in-row sort
+    srt = np.sort(pair, axis=1)
+    is_start = np.concatenate(
+        [np.ones((n_var, 1), bool), srt[:, 1:] != srt[:, :-1]], axis=1)
+    seg = np.cumsum(is_start, axis=1) - 1                     # (V, K)
+    n_seg = int(seg.max()) + 1
+    flat = np.arange(n_var, dtype=np.int64)[:, None] * n_seg + seg
+    sizes = np.bincount(flat.ravel(),
+                        minlength=n_var * n_seg).reshape(n_var, n_seg)
+
+    # canonical order (descending) -> ties are bitwise-stable
+    sizes = -np.sort(-sizes, axis=1)
+    p = sizes / K
+    plogp = np.where(sizes > 0, p * np.log2(np.where(p > 0, p, 1.0)), 0.0)
+    return -plogp.sum(axis=1), pair
+
+
 def variant_select(GT, var_count=None, rand_seed=0):
-    """Greedy selection of variants maximizing barcode entropy
-    (variant_select.py:22-62). Ties are filtered to counts >= median
-    then broken by a seeded random pick, like the reference.
+    """Greedy minimal-barcode variant selection
+    (variant_select.py:22-62).
+
+    Each round scores ALL variants at once by the entropy of the donor
+    partition they would refine (vectorized run-length counting instead
+    of the reference's per-variant string loop), keeps the max, and
+    stops when no variant improves it. Ties are filtered to
+    var_count >= median, then broken by a seeded np.random draw — the
+    exact draw order of the reference, so GTbarcode goldens match.
+
+    Returns (entropy, barcode strings per donor, chosen variant list).
     """
     np.random.seed(rand_seed)
+    GT = np.asarray(GT)
+    n_var, K = GT.shape
 
-    K = GT.shape[1]
+    # factor the categorical values once; refinement only needs codes
+    cats, flat_codes = np.unique(GT.astype(str), return_inverse=True)
+    codes = flat_codes.reshape(n_var, K).astype(np.int64)
+    n_codes = len(cats)
+
+    group = np.zeros(K, np.int64)      # all donors in one class
+    barcode = ["#"] * K                # reference's printable form
     entropy_now = 0.0
-    variant_set = []
-    barcode_set = ["#"] * K
+    chosen = []
 
-    entropy_all = np.zeros(GT.shape[0])
-    barcode_all = [barcode_set] * GT.shape[0]
     while True:
-        for i in range(GT.shape[0]):
-            entropy_all[i], barcode_all[i] = barcode_entropy(
-                barcode_set, GT[i, :])
-        if np.max(entropy_all) == entropy_now:
+        ent_all, pair = _refinement_entropies(group, codes, n_codes)
+        best = ent_all.max()
+        if best == entropy_now:
             break
-
-        idx = np.where(np.max(entropy_all) == entropy_all)[0]
+        idx = np.flatnonzero(ent_all == best)
         if var_count is not None:
             idx = idx[var_count[idx] >= np.median(var_count[idx])]
         print("Randomly select 1 more variants out %d" % len(idx))
-        idx_use = idx[np.random.randint(len(idx))]
+        pick = int(idx[np.random.randint(len(idx))])
 
-        variant_set.append(idx_use)
-        barcode_set = barcode_all[idx_use]
-        entropy_now = entropy_all[idx_use]
+        chosen.append(pick)
+        group = np.unique(pair[pick], return_inverse=True)[1]
+        barcode = [b + str(g) for b, g in zip(barcode, GT[pick, :])]
+        entropy_now = ent_all[pick]
 
     if entropy_now < np.log2(K):
         print("Warning: variant_select can't distinguish all samples.")
 
-    return entropy_now, barcode_set, variant_set
+    return float(entropy_now), barcode, chosen
 
 
 @jax.jit

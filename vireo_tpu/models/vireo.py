@@ -43,14 +43,17 @@ def warn_from_trace(trace, n_iter, max_iter, min_iter, style="vireo"):
     """
     trace = np.asarray(trace)
     n_iter = int(n_iter)
+    tol = 0.0 if style == "bulk" else 1e-6  # vireo_bulk.py:95-104
     n_decrease = 0
     for it in range(n_iter):
         if it > min_iter:
-            if trace[it] < trace[it - 1] - 1e-6:
+            if trace[it] < trace[it - 1] - tol:
                 n_decrease += 1
                 if style == "bmm":
                     print("Warning: ELBO decreases %.8f to %.8f!\n"
                           % (trace[it - 1], trace[it]))
+                elif style == "bulk":
+                    print("Warning: logLikelihood decreases!\n")
                 else:
                     print("Warning: Lower bound decreases!\n")
             elif it == max_iter - 1:
