@@ -21,117 +21,132 @@ __all__ = ["parse_sample_info", "load_VCF", "write_VCF_to_hdf5",
            "snp_gene_match"]
 
 
+def _parse_samples_sparse(sample_dat, formats, tags):
+    """Non-missing FORMAT entries as CSR-style string triplets.
+
+    Layout matches the reference (vcf_utils.py:28-56): one flat string
+    list per tag plus (indices, indptr) over (sample, variant), shape
+    (n_sample, n_var). A uniform FORMAT across variants is required.
+    """
+    tag_set = set(tags)
+    if any(set(f) != tag_set for f in formats):
+        raise ValueError("Error: require the same format for all variants.")
+    missing = {".", ":".join(["."] * len(tags))}
+
+    columns = [[] for _ in tags]
+    indices, indptr = [], [0]
+    for fmt, row in zip(formats, sample_dat):
+        where = [fmt.index(t) for t in tags]
+        for sample_i, entry in enumerate(row[1:]):
+            if entry in missing:
+                continue
+            parts = entry.split(":")
+            for col, w in zip(columns, where):
+                col.append(parts[w])
+            indices.append(sample_i)
+        indptr.append(len(indices))
+
+    out = dict(zip(tags, columns))
+    out["indices"] = indices
+    out["indptr"] = indptr
+    out["shape"] = (len(sample_dat[0]) - 1, len(sample_dat))
+    # every tag is present on every kept entry in sparse mode
+    return out, np.full(len(tags), len(indices), np.int64)
+
+
+def _parse_samples_dense(sample_dat, formats, tags):
+    """Per-variant lists of per-sample values, '.'-filled where a
+    variant's FORMAT lacks the tag (vcf_utils.py:58-70)."""
+    out = {t: [] for t in tags}
+    counts = np.zeros(len(tags), np.int64)
+    for fmt, row in zip(formats, sample_dat):
+        parts = [e.split(":") for e in row[1:]]
+        for ti, tag in enumerate(tags):
+            if tag in fmt:
+                w = fmt.index(tag)
+                out[tag].append([p[w] for p in parts])
+                counts[ti] += 1
+            else:
+                out[tag].append(["."] * len(parts))
+    return out, counts
+
+
 def parse_sample_info(sample_dat, sparse=True, format_list=None):
     """Parse per-sample FORMAT columns (vcf_utils.py:12-77).
 
     sample_dat: list over variants of [FORMAT, sample1, sample2, ...].
-    sparse=True builds CSR-style triplets over non-missing entries and
-    requires a uniform FORMAT across variants, like the reference.
+    Returns (dict of per-tag values, per-tag variant counts) and warns
+    when any tag covers <10% of variants.
     """
-    if sample_dat == [] or sample_dat is None:
+    if not sample_dat:
         return None
 
-    format_all = [x[0].split(":") for x in sample_dat]
-    if format_list is None:
-        format_list = format_all[0]
+    formats = [row[0].split(":") for row in sample_dat]
+    tags = list(format_list) if format_list is not None else formats[0]
 
-    RV = {}
-    n_SNP_tagged = np.zeros(len(format_list), np.int64)
-    for _key in format_list:
-        RV[_key] = []
+    parse = _parse_samples_sparse if sparse else _parse_samples_dense
+    RV, n_SNP_tagged = parse(sample_dat, formats, tags)
 
-    if sparse:
-        fmt_set = set(format_list)
-        if any(set(f) != fmt_set for f in format_all):
-            raise ValueError(
-                "Error: require the same format for all variants.")
-
-        RV['indices'] = []
-        RV['indptr'] = [0]
-        RV['shape'] = (len(sample_dat[0][1:]), len(sample_dat))
-        missing_val = ":".join(["."] * len(format_list))
-
-        cnt = 0
-        for j, _line in enumerate(sample_dat):
-            key_idx = [format_all[j].index(_key) for _key in format_list]
-            for i, entry in enumerate(_line[1:]):
-                if entry == missing_val or entry == ".":
-                    continue
-                fields = entry.split(":")
-                for k, _key in enumerate(format_list):
-                    RV[_key].append(fields[key_idx[k]])
-                cnt += 1
-                RV['indices'].append(i)
-                n_SNP_tagged += 1
-            RV['indptr'].append(cnt)
-    else:
-        for j, _line in enumerate(sample_dat):
-            fields = [x.split(":") for x in _line[1:]]
-            for il, _key in enumerate(format_list):
-                if _key in format_all[j]:
-                    k = format_all[j].index(_key)
-                    RV[_key].append([x[k] for x in fields])
-                    n_SNP_tagged[il] += 1
-                else:
-                    RV[_key].append(["."] * len(fields))
-
-    idx_low_tag = np.where(n_SNP_tagged < (0.1 * len(sample_dat)))[0]
-    if len(idx_low_tag) > 0:
+    if (n_SNP_tagged < 0.1 * len(sample_dat)).any():
         print('[vireo] Warning: too few variants with tags!',
-              '\t'.join([format_list[k] + ": " + str(n_SNP_tagged[k])
-                         for k in range(len(format_list))]))
-
+              '\t'.join("%s: %d" % (t, n) for t, n
+                        in zip(tags, n_SNP_tagged)))
     return RV, n_SNP_tagged
+
+
+def _open_text(path):
+    opener = gzip.open if path.endswith((".gz", ".bgz")) else open
+    return opener(path, "rt")
 
 
 def load_VCF(vcf_file, biallelic_only=False, load_sample=True, sparse=True,
              format_list=None):
     """Stream a (optionally gzip/bgzip) VCF into the reference's dict
-    layout (vcf_utils.py:80-159)."""
-    if vcf_file.endswith(".gz") or vcf_file.endswith(".bgz"):
-        infile = gzip.open(vcf_file, "rt")
-    else:
-        infile = open(vcf_file, "r")
+    layout (vcf_utils.py:80-159): variant ids CHROM_POS_REF_ALT, fixed
+    columns keyed by the #CHROM header, contig + comment header lines,
+    and (optionally) parsed per-sample FORMAT data.
 
-    FixedINFO = {}
-    contig_lines = []
-    comment_lines = []
-    var_ids, obs_ids, obs_dat = [], [], []
-    key_ids = []
+    Records are collected row-wise in one pass and transposed to the
+    columnar FixedINFO dict at the end; multi-allelic records can be
+    dropped on the fly.
+    """
+    fixed_keys, samples = [], []
+    contigs, comments = [], []
+    records = []
 
-    for line in infile:
-        if line.startswith("#"):
-            if line.startswith("##contig="):
-                contig_lines.append(line.rstrip())
-            if line.startswith("#CHROM"):
-                if load_sample:
-                    obs_ids = line.rstrip().split("\t")[9:]
-                key_ids = line[1:].rstrip().split("\t")[:8]
-                for _key in key_ids:
-                    FixedINFO[_key] = []
-            else:
-                comment_lines.append(line.rstrip())
-        else:
-            list_val = line.rstrip().split("\t")
-            if biallelic_only:
-                if len(list_val[3]) > 1 or len(list_val[4]) > 1:
+    with _open_text(vcf_file) as fh:
+        for line in fh:
+            line = line.rstrip()
+            if not line.startswith("#"):
+                row = line.split("\t")
+                if biallelic_only and (len(row[3]) > 1 or len(row[4]) > 1):
                     continue
-            if load_sample:
-                obs_dat.append(list_val[8:])
-            for i, _key in enumerate(key_ids):
-                FixedINFO[_key].append(list_val[i])
-            var_ids.append("_".join([list_val[x] for x in [0, 1, 3, 4]]))
-    infile.close()
+                records.append(row)
+            elif line.startswith("#CHROM"):
+                header = line.lstrip("#").split("\t")
+                fixed_keys = header[:8]
+                if load_sample:
+                    samples = header[9:]
+            else:
+                # contig declarations appear in both lists, as in the
+                # reference (vcf_utils.py:103-110)
+                if line.startswith("##contig="):
+                    contigs.append(line)
+                comments.append(line)
 
-    RV = {}
-    RV["variants"] = var_ids
-    RV["FixedINFO"] = FixedINFO
-    RV["contigs"] = contig_lines
-    RV["comments"] = comment_lines
+    n_fixed = len(fixed_keys)
+    columns = (list(map(list, zip(*records))) if records
+               else [[] for _ in range(n_fixed)])
+    RV = {
+        "variants": ["_".join((r[0], r[1], r[3], r[4])) for r in records],
+        "FixedINFO": {k: columns[i] for i, k in enumerate(fixed_keys)},
+        "contigs": contigs,
+        "comments": comments,
+    }
     if load_sample:
-        RV["samples"] = obs_ids
+        RV["samples"] = samples
         RV["GenoINFO"], RV["n_SNP_tagged"] = parse_sample_info(
-            obs_dat, sparse, format_list)
+            [r[8:] for r in records], sparse, format_list)
     return RV
 
 
@@ -171,22 +186,25 @@ def read_sparse_GeneINFO(GenoINFO, keys=['AD', 'DP'], axes=[-1, -1]):
 
 def GenoINFO_maker(GT_prob, AD_reads, DP_reads):
     """Synthesize GT/AD/DP/PL FORMAT fields from estimated genotype
-    probabilities and expected counts (vcf_utils.py:208-231)."""
-    GT_prob = np.asarray(GT_prob, np.float64).copy()
-    GT_val = np.argmax(GT_prob, axis=2)
-    GT_prob[GT_prob < 1e-10] = 1e-10
-    PL_prob = np.round(-10 * np.log10(GT_prob)).astype(int).astype(str)
-    AD_reads = np.round(np.asarray(AD_reads)).astype(int).astype(str)
-    DP_reads = np.round(np.asarray(DP_reads)).astype(int).astype(str)
+    probabilities and expected counts (vcf_utils.py:208-231).
 
-    GT_codes = ['0/0', '1/0', '1/1']
-    GT, PL, AD, DP = [], [], [], []
-    for i in range(GT_prob.shape[0]):
-        GT.append([GT_codes[x] for x in GT_val[i, :]])
-        PL.append([",".join(list(x)) for x in PL_prob[i, :, :]])
-        AD.append(list(AD_reads[i, :]))
-        DP.append(list(DP_reads[i, :]))
-    return {'GT': GT, 'AD': AD, 'DP': DP, 'PL': PL}
+    Hard calls pick the argmax category; PL is the Phred transform
+    round(-10*log10 p) of the (floored) posterior; AD/DP are the
+    rounded expected read counts. Everything is vectorized; only the
+    final nested-list-of-strings layout is materialized in Python.
+    """
+    prob = np.clip(np.asarray(GT_prob, np.float64), 1e-10, None)
+    hard = np.array(['0/0', '1/0', '1/1'])[np.argmax(prob, axis=2)]
+    phred = np.round(-10.0 * np.log10(prob)).astype(int).astype(str)
+    ad = np.round(np.asarray(AD_reads)).astype(int).astype(str)
+    dp = np.round(np.asarray(DP_reads)).astype(int).astype(str)
+
+    return {
+        'GT': hard.tolist(),
+        'AD': ad.tolist(),
+        'DP': dp.tolist(),
+        'PL': [[",".join(cat) for cat in row] for row in phred],
+    }
 
 
 _FORMAT_HEADERS = {
@@ -337,45 +355,55 @@ def match_VCF_samples(VCF_file1, VCF_file2, GT_tag1, GT_tag2):
     return RV
 
 
+def _signed_gene_distances(pos, starts, stops):
+    """Signed distance from one position to every [start, stop] gene
+    interval: negative inside the body, else the distance to the nearer
+    end (vcf_utils.py:447-455 semantics, including its sign-of-zero
+    behavior at exact boundaries)."""
+    d_start = starts - pos
+    d_stop = stops - pos
+    nearer = np.minimum(np.abs(d_start), np.abs(d_stop))
+    return np.sign(d_start) * np.sign(d_stop) * nearer
+
+
 def snp_gene_match(varFixedINFO, gene_df, gene_key='gene', multi_gene=True,
                    gaps=[0, 1000, 10000, 100000], verbose=False):
-    """Annotate SNPs with overlapping / nearby genes
-    (vcf_utils.py:423-491)."""
-    chrom_cur = 'None'
-    gene_list = []
-    flag_list = []
-    gene_use = None
+    """Annotate each SNP with its overlapping gene(s), or the nearest
+    gene within escalating distance tiers (vcf_utils.py:423-491).
 
-    for i in range(len(varFixedINFO['CHROM'])):
-        _chrom = varFixedINFO['CHROM'][i]
-        _pos = int(varFixedINFO['POS'][i])
+    Tier semantics: gap 0 keeps every overlapped gene when `multi_gene`,
+    otherwise (and for all non-zero tiers) only the nearest hit; a SNP
+    with no gene within the largest gap gets an empty list and flag
+    len(gaps). Gene tables are sliced once per chromosome and the
+    signed distances computed once per SNP (the tier scan reuses them).
+    """
+    chroms = varFixedINFO['CHROM']
+    gene_list = [None] * len(chroms)
+    flag_list = [len(gaps)] * len(chroms)
 
-        if chrom_cur != _chrom:
-            gene_use = gene_df[gene_df['chrom'] == _chrom]
-            chrom_cur = _chrom
-            if verbose:
-                print('processing:', _chrom)
+    by_chrom = {}
+    for i, chrom in enumerate(chroms):
+        by_chrom.setdefault(chrom, []).append(i)
 
-        idx_chrom = []
-        flag = len(gaps)
-        for k, _gap in enumerate(gaps):
-            flag = k
-            _dist1 = gene_use['start'].values - _pos
-            _dist2 = gene_use['stop'].values - _pos
-            _distP = np.stack((_dist1, _dist2), axis=-1)
-            _sign = np.sign(_dist1) * np.sign(_dist2)
-            _dist = _sign * np.min(np.abs(_distP), axis=1)
+    for chrom, snp_idx in by_chrom.items():
+        if verbose:
+            print('processing:', chrom)
+        sub = gene_df[gene_df['chrom'] == chrom]
+        starts = sub['start'].values
+        stops = sub['stop'].values
+        names = sub[gene_key].values
 
-            idx_chrom = np.where(_dist < _gap)[0]
-            if len(idx_chrom) > 0:
-                if _gap > 0 or multi_gene is False:
-                    idx_chrom = [idx_chrom[np.argmin(_dist[idx_chrom])]]
-                break
-
-        if len(idx_chrom) == 0:
-            flag = len(gaps)
-
-        gene_list.append(gene_use[gene_key].values[idx_chrom])
-        flag_list.append(flag)
+        for i in snp_idx:
+            dist = _signed_gene_distances(int(varFixedINFO['POS'][i]),
+                                          starts, stops)
+            hits = np.array([], int)
+            for tier, gap in enumerate(gaps):
+                hits = np.flatnonzero(dist < gap)
+                if len(hits):
+                    if gap > 0 or not multi_gene:
+                        hits = hits[[np.argmin(dist[hits])]]
+                    flag_list[i] = tier
+                    break
+            gene_list[i] = names[hits]
 
     return gene_list, flag_list

@@ -1,9 +1,11 @@
 """Host-side plotting utilities.
 
-Figure-compatible with /root/reference/vireoSNP/plot/base_plot.py:
-annotated heatmaps, genotype-distance figures written by the CLI, and
-the GTbarcode mini-code plot. Matplotlib imports are deferred so the
-compute path never pays for them.
+Figure-compatible with the reference's plotting surface
+(/root/reference/vireoSNP/plot/base_plot.py): annotated heatmaps, the
+genotype-distance figures the CLI writes, the GTbarcode mini-code plot,
+and the annotation-grouped clustermap. Internals are built on a small
+set of shared axis helpers; matplotlib/seaborn imports are deferred so
+the compute path never pays for them.
 """
 
 import numpy as np
@@ -14,31 +16,59 @@ vireo_colors = np.array(['#4796d7', '#f79e54', '#79a702', '#df5858',
                          '#f79b78', '#ffba00'])
 
 
+# ---------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------
+
+def _label_axis(ax, which, labels, rotation=0):
+    """Put categorical tick labels on one axis and clamp its limits to
+    the matrix extent."""
+    if labels is None:
+        return
+    ticks = np.arange(len(labels))
+    lim = (-0.5, len(labels) - 0.5)
+    if which == "x":
+        ax.set_xticks(ticks, labels=list(labels), rotation=rotation)
+        ax.set_xlim(*lim)
+    else:
+        ax.set_yticks(ticks, labels=list(labels))
+        ax.set_ylim(*lim)
+
+
+def _annotate_cells(ax, M, fmt):
+    """Write fmt(value) centered in every cell of an imshow'd matrix."""
+    for (i, j), v in np.ndenumerate(M):
+        ax.text(j, i, fmt(v), ha="center", va="center", color="k")
+
+
+def _binary_row_order(X):
+    """Row order by the binary code of each row (reference's row_sort
+    trick, base_plot.py:60-61): row value = X @ (1, 2, 4, ...)."""
+    return np.argsort(X @ (2 ** np.arange(X.shape[1])))
+
+
+# ---------------------------------------------------------------------
+# public surface
+# ---------------------------------------------------------------------
+
 def heat_matrix(X, yticks=None, xticks=None, rotation=45, cmap='BuGn',
                 alpha=0.6, display_value=True, row_sort=False,
                 aspect='auto', interpolation='none', **kwargs):
-    """Annotated heatmap (base_plot.py:9-79)."""
+    """Annotated heatmap on the current axes; returns the image handle
+    (same call surface as base_plot.py:9-79)."""
     import matplotlib.pyplot as plt
 
     X = np.asarray(X)
     if row_sort:
-        row_idx = np.argsort(np.dot(X, 2 ** np.arange(X.shape[1])))
-        X = X[row_idx, :]
+        X = X[_binary_row_order(X)]
 
-    im = plt.imshow(X, cmap=cmap, alpha=alpha, aspect=aspect,
-                    interpolation=interpolation, **kwargs)
-    if xticks is not None:
-        plt.xticks(range(len(xticks)), xticks, rotation=rotation)
-        plt.xlim(-0.5, len(xticks) - 0.5)
-    if yticks is not None:
-        plt.yticks(range(len(yticks)), yticks)
-        plt.ylim(-0.5, len(yticks) - 0.5)
-
+    ax = plt.gca()
+    im = ax.imshow(X, cmap=cmap, alpha=alpha, aspect=aspect,
+                   interpolation=interpolation, **kwargs)
+    _label_axis(ax, "x", xticks, rotation=rotation)
+    _label_axis(ax, "y", yticks)
     if display_value:
-        for i in range(X.shape[0]):
-            for j in range(X.shape[1]):
-                plt.text(j, i, "%.2f" % X[i, j],
-                         ha="center", va="center", color="k")
+        _annotate_cells(ax, X, lambda v: "%.2f" % v)
     return im
 
 
@@ -57,107 +87,88 @@ def plot_GT(out_dir, cell_GPb, donor_names, donor_GPb=None,
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    diff_mat = _gt_distance(cell_GPb, cell_GPb)
-    fig = plt.figure()
-    heat_matrix(diff_mat, donor_names, donor_names)
-    plt.title("Geno Prob Delta: %d SNPs" % (cell_GPb.shape[0]))
-    plt.tight_layout()
-    fig.savefig(out_dir + "/fig_GT_distance_estimated.pdf", dpi=300)
-    plt.close(fig)
-
-    if donor_GPb is not None:
-        diff_mat = _gt_distance(cell_GPb, donor_GPb)
+    def save(dist, cols, fname):
         fig = plt.figure()
-        heat_matrix(diff_mat, donor_names, donor_names_in)
+        heat_matrix(dist, donor_names, cols)
         plt.title("Geno Prob Delta: %d SNPs" % (cell_GPb.shape[0]))
         plt.tight_layout()
-        fig.savefig(out_dir + "/fig_GT_distance_input.pdf", dpi=300)
+        fig.savefig(out_dir + "/" + fname, dpi=300)
         plt.close(fig)
+
+    save(_gt_distance(cell_GPb, cell_GPb), donor_names,
+         "fig_GT_distance_estimated.pdf")
+    if donor_GPb is not None:
+        save(_gt_distance(cell_GPb, donor_GPb), donor_names_in,
+             "fig_GT_distance_input.pdf")
 
 
 def minicode_plot(barcode_set, var_ids=None, sample_ids=None,
                   cmap="Set3", interpolation='none', **kwargs):
-    """Genotype-barcode matrix plot for GTbarcode
-    (base_plot.py:117-146)."""
+    """Genotype-barcode matrix plot for GTbarcode: variants x donors,
+    one colored integer per genotype (base_plot.py:117-146). Barcode
+    strings carry a leading '#'."""
     import matplotlib.pyplot as plt
 
-    mat = np.zeros((len(barcode_set[0][1:]), len(barcode_set)))
-    for i in range(mat.shape[0]):
-        for j in range(mat.shape[1]):
-            mat[i, j] = float(barcode_set[j][i + 1])
+    M = np.array([[float(c) for c in bc[1:]] for bc in barcode_set]).T
 
-    im = plt.imshow(mat, cmap=cmap, interpolation=interpolation, **kwargs)
-    for i in range(mat.shape[0]):
-        for j in range(mat.shape[1]):
-            plt.text(j, i, int(mat[i, j]), ha="center", va="center",
-                     color="k")
+    ax = plt.gca()
+    im = ax.imshow(M, cmap=cmap, interpolation=interpolation, **kwargs)
+    _annotate_cells(ax, M, lambda v: int(v))
 
-    if var_ids is None:
-        var_ids = range(mat.shape[0])
-    plt.yticks(range(len(var_ids)), var_ids)
-    plt.ylim(-0.5, len(var_ids) - 0.5)
-
-    if sample_ids is None:
-        sample_ids = ["%s\nS%d" % (barcode_set[x], x)
-                      for x in range(mat.shape[1])]
-    else:
-        sample_ids = ["%s\n%s" % (barcode_set[x], sample_ids[x])
-                      for x in range(mat.shape[1])]
-    plt.xticks(range(len(sample_ids)), sample_ids)
-    plt.xlim(-0.5, len(sample_ids) - 0.5)
+    _label_axis(ax, "y", var_ids if var_ids is not None
+                else range(M.shape[0]))
+    tags = sample_ids if sample_ids is not None \
+        else ["S%d" % x for x in range(M.shape[1])]
+    _label_axis(ax, "x", ["%s\n%s" % (bc, tag)
+                          for bc, tag in zip(barcode_set, tags)])
     return im
+
+
+def _group_layout(anno, order_ids, n_other):
+    """Ordering and swatch colors for one annotated axis of anno_heat.
+
+    Returns (permutation grouping equal annotations together, one color
+    per element, the group label list). `n_other` is the length of the
+    opposite axis (kept for parity with the reference's argsort weight,
+    which does not change the order)."""
+    ids = list(np.unique(anno)) if order_ids is None else list(order_ids)
+    group_of = np.array([ids.index(a) for a in anno])
+    perm = np.argsort(group_of, kind="stable")
+    return perm, vireo_colors[group_of[perm]], ids
+
+
+def _add_swatch_legend(ax, labels, ncol):
+    """Zero-size bars on a dendrogram axis double as legend swatches."""
+    for i, lab in enumerate(labels):
+        ax.bar(0, 0, color=vireo_colors[i], label=lab, linewidth=0)
+    ax.legend(loc="center", ncol=ncol, title="")
 
 
 def anno_heat(X, row_anno=None, col_anno=None, row_order_ids=None,
               col_order_ids=None, xticklabels=False, yticklabels=False,
               row_cluster=False, col_cluster=False, **kwargs):
-    """Annotation-ordered clustermap (base_plot.py:149-218)."""
+    """Clustermap with rows/columns grouped by categorical annotations
+    and per-group color strips + legends (base_plot.py:149-218)."""
     import seaborn as sns
 
     X = np.asarray(X)
-    if row_anno is not None:
-        if row_order_ids is None:
-            row_order_ids = list(np.unique(row_anno))
-        else:
-            row_order_ids = [x for x in row_order_ids]
-        row_num = np.array([row_order_ids.index(x) for x in row_anno])
-        idx_row = np.argsort(row_num * 2 ** X.shape[1])
-        row_colors = vireo_colors[row_num][idx_row]
-    else:
-        row_colors = None
-        row_order_ids = []
-        idx_row = np.arange(X.shape[0])
+    idx_row, row_colors, row_ids = (
+        _group_layout(row_anno, row_order_ids, X.shape[1])
+        if row_anno is not None
+        else (np.arange(X.shape[0]), None, []))
+    idx_col, col_colors, col_ids = (
+        _group_layout(col_anno, col_order_ids, X.shape[0])
+        if col_anno is not None
+        else (np.arange(X.shape[1]), None, []))
 
-    if col_anno is not None:
-        if col_order_ids is None:
-            col_order_ids = list(np.unique(col_anno))
-        else:
-            col_order_ids = [x for x in col_order_ids]
-        col_num = np.array([col_order_ids.index(x) for x in col_anno])
-        idx_col = np.argsort(col_num * 2 ** X.shape[0])
-        col_colors = vireo_colors[col_num][idx_col]
-    else:
-        col_colors = None
-        col_order_ids = []
-        idx_col = np.arange(X.shape[1])
-
-    g = sns.clustermap(X[idx_row, :][:, idx_col],
+    g = sns.clustermap(X[np.ix_(idx_row, idx_col)],
                        row_colors=row_colors, col_colors=col_colors,
                        col_cluster=col_cluster, row_cluster=row_cluster,
                        xticklabels=xticklabels, yticklabels=yticklabels,
                        **kwargs)
-
     if row_anno is not None:
-        for i in range(len(row_order_ids)):
-            g.ax_row_dendrogram.bar(0, 0, color=vireo_colors[i],
-                                    label=row_order_ids[i], linewidth=0)
-        g.ax_row_dendrogram.legend(loc="center", ncol=1, title="")
-
+        _add_swatch_legend(g.ax_row_dendrogram, row_ids, ncol=1)
     if col_anno is not None:
-        for i in range(len(col_order_ids)):
-            g.ax_col_dendrogram.bar(0, 0, color=vireo_colors[i],
-                                    label=col_order_ids[i], linewidth=0)
-        g.ax_col_dendrogram.legend(loc="center", ncol=6, title="")
-
+        _add_swatch_legend(g.ax_col_dendrogram, col_ids, ncol=6)
     g.cax.set_position([1.01, .2, .03, .45])
     return g
