@@ -31,18 +31,16 @@ def tpu_rate(n_var, n_cell, n_donor, n_iters, seed=1):
     iterations inside one compiled fori_loop with a traced trip count
     and subtracting a short-loop timing.
     """
-    import jax
-    plat = os.environ.get("VIREO_PLATFORM")
-    if plat:
-        jax.config.update("jax_platforms", plat)
     # persistent local compile cache: the remote-compile service can
-    # take minutes for a fresh computation; cached binaries load in ~1s
-    cache_dir = os.environ.get("VIREO_COMPILE_CACHE",
-                               os.path.join(os.path.dirname(
-                                   os.path.abspath(__file__)),
-                                   ".jax_cache"))
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # take minutes for a fresh computation; cached binaries load in ~1s.
+    # setdefault keeps a user-set VIREO_COMPILE_CACHE in charge.
+    os.environ.setdefault(
+        "VIREO_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    from vireo_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
+    import jax
     import jax.numpy as jnp
     from vireo_tpu.sim.synth import (synth_pool_counts,
                                      synth_pool_dense_device)
@@ -100,6 +98,9 @@ def tpu_rate(n_var, n_cell, n_donor, n_iters, seed=1):
     per_iter = (t_long - t_short) / n_iters
     if per_iter <= 0:  # calibration still noisier than the long run
         per_iter = t_long / (n_short + n_iters)
+        print("[bench] WARNING: short-loop calibration exceeded the "
+              "long run; falling back to the conservative whole-run "
+              "rate (includes dispatch overhead)", file=sys.stderr)
     dev = jax.devices()[0]
     layout = ("fused_int8" if fused
               else ("dense_int8" if use_dense else "coo"))

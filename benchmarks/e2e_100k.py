@@ -22,14 +22,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    os.environ.setdefault("VIREO_COMPILE_CACHE", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    from vireo_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
     import jax
-    plat = os.environ.get("VIREO_PLATFORM")
-    if plat:
-        jax.config.update("jax_platforms", plat)
-    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from vireo_tpu.sim.synth import synth_pool_dense_device
     from vireo_tpu.engine.wrap import vireo_wrap
@@ -50,7 +48,9 @@ def main():
 
     t0 = time.time()
     res = vireo_wrap(d["counts"], n_donor=n_donor, n_init=n_init,
-                     random_seed=1, check_doublet=True, verbose=False)
+                     random_seed=1, check_doublet=True, verbose=False,
+                     checkpoint_dir=os.environ.get("E2E_CHECKPOINT_DIR"),
+                     timing=os.environ.get("VIREO_TIMING") == "1" or None)
     t_fit = time.time() - t0
 
     # accuracy vs ground truth (donor labels are permuted: align by

@@ -20,12 +20,12 @@ import jax
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+os.environ.setdefault("VIREO_COMPILE_CACHE", os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"))
+
 from vireo_tpu.utils.platform import apply_platform_env  # noqa: E402
 
 apply_platform_env()
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "..", ".jax_cache"))
 
 import jax.numpy as jnp  # noqa: E402
 from vireo_tpu.sim.synth import synth_pool_dense_device  # noqa: E402

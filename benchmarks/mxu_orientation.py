@@ -25,12 +25,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-plat = os.environ.get("VIREO_PLATFORM")
-if plat:
-    jax.config.update("jax_platforms", plat)
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "..", ".jax_cache"))
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+os.environ.setdefault("VIREO_COMPILE_CACHE", os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"))
+
+from vireo_tpu.utils.platform import apply_platform_env  # noqa: E402
+
+apply_platform_env()
 
 V, C, K = 30720, 4096, 16
 f32 = jnp.float32

@@ -36,7 +36,7 @@ def test_kernel_matches_reference_math(small_data):
     Wd_p = pad_to(Wd, (32, 1))
     prior = priors.id_log.astype(jnp.float32).reshape(1, K)
 
-    S1, SS, id_prob, lb_p, kl_id = fused_estep_stats(
+    S1, SS, id_prob, ll_out, lb_p, kl_id = fused_estep_stats(
         ad8, dp8, Wa_p, Wd_p, prior, cell_block=64, interpret=True)
 
     # reference computation in f32 numpy
@@ -56,6 +56,44 @@ def test_kernel_matches_reference_math(small_data):
                                rtol=2e-2, atol=0.2)
     ref_lb = np.sum(loglik * idp)
     np.testing.assert_allclose(float(lb_p), ref_lb, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(ll_out)[:C], loglik,
+                               rtol=2e-2, atol=1e-2)
+
+
+def test_fused_doublet_matches_host_path(small_data, monkeypatch):
+    """predict_doublet's single-pass Pallas path (interpret mode) agrees
+    with the host path on int8 counts: same calls, close probabilities,
+    same refreshed GT."""
+    from vireo_tpu.ops.counts import counts_from_scipy
+    from vireo_tpu.models.vireo import Vireo
+    from vireo_tpu.models.doublet import predict_doublet
+
+    AD, DP, _ = small_data
+    counts = counts_from_scipy(AD, DP, max_dense_elems=10)
+    assert counts.ad.dtype == jnp.int8
+
+    def fitted():
+        np.random.seed(5)
+        m = Vireo(n_cell=AD.shape[1], n_var=AD.shape[0], n_donor=3,
+                  dtype=jnp.float32)
+        m.fit(counts, max_iter=25, min_iter=3, verbose=False)
+        return m
+
+    monkeypatch.setenv("VIREO_FUSED_DOUBLET", "0")
+    m_host = fitted()
+    db_h, sg_h, llr_h = predict_doublet(m_host, counts, None)
+
+    monkeypatch.setenv("VIREO_FUSED_DOUBLET", "interpret")
+    m_fused = fitted()
+    db_f, sg_f, llr_f = predict_doublet(m_fused, counts, None)
+
+    assert (np.argmax(sg_f, 1) == np.argmax(sg_h, 1)).all()
+    np.testing.assert_allclose(sg_f, sg_h, atol=2e-3)
+    np.testing.assert_allclose(db_f, db_h, atol=2e-3)
+    # logLik differences inherit the kernel's bf16 weight rounding
+    np.testing.assert_allclose(llr_f, llr_h, rtol=5e-2, atol=0.25)
+    np.testing.assert_allclose(m_fused.GT_prob, m_host.GT_prob,
+                               atol=2e-3)
 
 
 def test_fused_loop_matches_unfused(small_data):

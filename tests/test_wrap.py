@@ -76,3 +76,69 @@ def test_wrap_extra_donor(small_data, reference):
     ref = _ref_wrap(reference, AD, DP, **kw)
     res = vireo_wrap(AD, DP, dtype=jnp.float64, **kw)
     _assert_results_close(res, ref, rtol=1e-3, atol=1e-6)
+
+
+def test_checkpoint_resume_reproduces_run(small_data, tmp_path):
+    """A run interrupted after any phase and restarted with the same
+    arguments reproduces the uninterrupted result exactly (VERDICT
+    item 5 done-criterion)."""
+    import os
+    from vireo_tpu.engine.wrap import vireo_wrap
+
+    AD, DP, _ = small_data
+    kw = dict(n_donor=3, learn_GT=True, n_init=4, random_seed=7,
+              check_doublet=True, dtype=jnp.float64, verbose=False)
+
+    res_plain = vireo_wrap(AD, DP, **kw)                 # no checkpoints
+
+    ck = str(tmp_path / "ck")
+    res_full = vireo_wrap(AD, DP, checkpoint_dir=ck, **kw)
+    rng_after_full = np.random.get_state()
+    files = sorted(os.listdir(ck))
+    assert any("00000000" in f for f in files)           # step 0
+    assert any("00000001" in f for f in files)           # step 1
+
+    for key in ("ID_prob", "GT_prob", "doublet_prob", "doublet_LLR"):
+        np.testing.assert_array_equal(res_full[key], res_plain[key])
+
+    # "killed" right after the refit phase: resume skips straight to
+    # the doublet step and must reproduce everything bitwise
+    res_r1 = vireo_wrap(AD, DP, checkpoint_dir=ck, **kw)
+    for key in ("ID_prob", "GT_prob", "doublet_prob", "doublet_LLR",
+                "LB_doublet", "LB_list"):
+        np.testing.assert_array_equal(res_r1[key], res_full[key])
+
+    # "killed" right after the warm phase: drop step 1, resume re-runs
+    # the refit with the restored RNG stream
+    os.remove(os.path.join(ck, "vireo_ckpt_00000001.npz"))
+    res_r0 = vireo_wrap(AD, DP, checkpoint_dir=ck, **kw)
+    rng_after_r0 = np.random.get_state()
+    for key in ("ID_prob", "GT_prob", "doublet_prob", "doublet_LLR",
+                "LB_doublet", "LB_list"):
+        np.testing.assert_array_equal(res_r0[key], res_full[key])
+    # host RNG ends at the same stream position as the full run
+    assert rng_after_full[2] == rng_after_r0[2]
+    np.testing.assert_array_equal(rng_after_full[1], rng_after_r0[1])
+
+
+def test_checkpoint_resume_subset_prior(small_data, tmp_path):
+    """Resume across the donor-subset branch (extra refit + RNG draws)
+    still reproduces the uninterrupted run."""
+    import os
+    from vireo_tpu.engine.wrap import vireo_wrap
+
+    AD, DP, _ = small_data
+    rng = np.random.RandomState(0)
+    GT_prior = rng.dirichlet([1.0] * 3, size=(AD.shape[0], 4))
+    kw = dict(n_donor=2, GT_prior=GT_prior, learn_GT=False, n_init=1,
+              random_seed=3, check_doublet=True, dtype=jnp.float64,
+              verbose=False)
+
+    ck = str(tmp_path / "ck2")
+    res_full = vireo_wrap(AD, DP, checkpoint_dir=ck, **kw)
+    os.remove(os.path.join(ck, "vireo_ckpt_00000001.npz"))
+    res_r0 = vireo_wrap(AD, DP, checkpoint_dir=ck, **kw)
+    res_r1 = vireo_wrap(AD, DP, checkpoint_dir=ck, **kw)
+    for key in ("ID_prob", "GT_prob", "doublet_prob", "LB_doublet"):
+        np.testing.assert_array_equal(res_r0[key], res_full[key])
+        np.testing.assert_array_equal(res_r1[key], res_full[key])

@@ -87,6 +87,16 @@ def build_parser():
     parser.add_argument("--nproc", "-p", type=int, dest="nproc", default=1,
                         help="Accepted for compatibility; restarts are "
                              "batched on device [default: %(default)s]")
+    parser.add_argument("--checkpointDir", dest="checkpoint_dir",
+                        default=None,
+                        help="Directory for phase checkpoints; an "
+                             "interrupted run restarted with the same "
+                             "arguments resumes after the last completed "
+                             "phase [default: off]")
+    parser.add_argument("--timing", dest="timing", default=False,
+                        action="store_true",
+                        help="Print a per-phase timing summary "
+                             "(also VIREO_TIMING=1)")
     return parser
 
 
@@ -237,7 +247,8 @@ def main(argv=None):
         extra_donor_mode=options.extra_donor_mode,
         check_doublet=check_doublet, random_seed=options.rand_seed,
         ASE_mode=options.ASE_mode, check_ambient=options.check_ambient,
-        nproc=options.nproc)
+        nproc=options.nproc, checkpoint_dir=options.checkpoint_dir,
+        timing=options.timing or None)
 
     if (n_donor is not None and donor_GPb is not None
             and n_donor < donor_GPb.shape[1]):

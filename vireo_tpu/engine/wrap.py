@@ -77,7 +77,7 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
                max_iter_init=20, delay_fit_theta=3, n_extra_donor=0,
                extra_donor_mode="distance", check_ambient=False,
                nproc=None, dtype=jnp.float32, verbose=True, mesh="auto",
-               **kwargs):
+               checkpoint_dir=None, timing=None, **kwargs):
     """Run vireo with multiple initializations; returns the reference's
     result dict (vireo_wrap.py:170-183).
 
@@ -91,14 +91,39 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
     axis are sharded across it (sufficient statistics all-reduced each
     iteration); XLA propagates the sharding through the warm restarts,
     refit and doublet phases.
+
+    `checkpoint_dir`: when set, the best warm-restart state (step 0)
+    and the fully refit pre-doublet state (step 1) are saved there
+    with the host RNG position; a rerun with the SAME arguments resumes
+    after the latest completed phase and reproduces the uninterrupted
+    result. `timing` (or VIREO_TIMING=1) prints a per-phase summary.
     """
+    import os
+    from ..utils.timing import PhaseTimer
+    from ..utils import checkpoint as ckpt
+
+    if timing is None:
+        timing = os.environ.get("VIREO_TIMING", "0").lower() \
+            not in ("0", "", "no", "off")
+    timer = PhaseTimer() if timing else None
+
+    def phase(name):
+        import contextlib
+        return timer.phase(name) if timer else contextlib.nullcontext()
+
+    resume = ckpt.latest_step(checkpoint_dir) if checkpoint_dir else None
+    if resume is not None and verbose:
+        print("[vireo] resuming from checkpoint step %d in %s"
+              % (resume, checkpoint_dir))
+
     n_cell_in = AD.n_cell if isinstance(AD, (DenseCounts, SparseCounts)) \
         else int(AD.shape[1])
     mesh = _resolve_mesh(mesh, n_cell_in)
     if mesh is not None and verbose:
         print("[vireo] cell axis sharded over %d devices"
               % mesh.devices.size)
-    counts = _as_counts(AD, DP, dtype, mesh=mesh, verbose=verbose)
+    with phase("data_placement"):
+        counts = _as_counts(AD, DP, dtype, mesh=mesh, verbose=verbose)
 
     if learn_GT is False and n_extra_donor > 0:
         print("Searching from extra donors only works with learn_GT")
@@ -134,87 +159,134 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
     priors = default_priors(cfg, GT_prior=GT_prior_use, dtype=dtype)
 
     # ---- warm restarts: one vmapped device call (vireo_wrap.py:64-87)
-    states = [init_state(cfg, GT_prob_init=GT_prior_use, rng=rng,
-                         dtype=dtype) for _ in range(n_init)]
-    batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
-    if mesh is not None and isinstance(counts, DenseCounts):
-        # place the (R, C, K) assignment batch cell-sharded next to the
-        # data; GT/theta stay replicated (they are all-reduced anyway)
-        import dataclasses
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        from ..parallel.mesh import CELL_AXIS
-        id_sh = NamedSharding(mesh, P(None, CELL_AXIS, None))
-        batched = dataclasses.replace(
-            batched, id_prob=jax.device_put(batched.id_prob, id_sh))
-    warm = jax.vmap(lambda st: fit_vb(
-        counts, st, priors, cfg, max_iter=max_iter_init, min_iter=5,
-        delay_fit_theta=delay_fit_theta))(batched)
-
-    binom_coeff = float(jax.device_get(counts.binom_coeff_sum()))
-    elbo_all = np.asarray(jax.device_get(warm.elbo_ref)) + binom_coeff
-    best = int(np.argmax(elbo_all))
-    best_state = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)[best]),
-                              warm.state)
-
-    modelCA = _model_from_state(counts, cfg_kwargs, n_donor_use, learn_GT,
-                                best_state, GT_prior_use, dtype)
-    modelCA.ELBO_ = np.asarray([elbo_all[best]])
-
-    # ---- long refit of the winner / extra-donor reduction
-    # (vireo_wrap.py:89-105)
-    if n_extra_donor == 0:
-        modelCA.fit(counts, min_iter=5, verbose=False)
+    if resume is not None:
+        # skip the completed phase; the saved host-RNG position keeps
+        # later draws (refit inits, ambient dirichlet) stream-identical
+        best_state, _, ex = ckpt.load_state(checkpoint_dir, 0,
+                                            dtype=dtype)
+        elbo_all = np.asarray(ex["elbo_all"])
+        ckpt.load_rng(checkpoint_dir, "rng_0")
     else:
-        _ID_prob = donor_select(modelCA.GT_prob, modelCA.ID_prob, n_donor,
-                                mode=extra_donor_mode, verbose=verbose)
-        modelCA = Vireo(n_cell=counts.n_cell, n_var=counts.n_var,
-                        n_donor=n_donor, learn_GT=learn_GT,
-                        GT_prob_init=GT_prior_use, ID_prob_init=_ID_prob,
-                        beta_mu_init=modelCA.beta_mu,
-                        beta_sum_init=modelCA.beta_sum,
-                        dtype=dtype, **cfg_kwargs)
-        modelCA.set_prior(GT_prior=GT_prior_use)
-        modelCA.fit(counts, min_iter=5, delay_fit_theta=delay_fit_theta,
-                    verbose=False)
+        with phase("warm_restarts"):
+            states = [init_state(cfg, GT_prob_init=GT_prior_use, rng=rng,
+                                 dtype=dtype) for _ in range(n_init)]
+            batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+            if mesh is not None and isinstance(counts, DenseCounts):
+                # place the (R, C, K) assignment batch cell-sharded next
+                # to the data; GT/theta stay replicated
+                import dataclasses
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                from ..parallel.mesh import CELL_AXIS
+                id_sh = NamedSharding(mesh, P(None, CELL_AXIS, None))
+                batched = dataclasses.replace(
+                    batched,
+                    id_prob=jax.device_put(batched.id_prob, id_sh))
+            warm = jax.vmap(lambda st: fit_vb(
+                counts, st, priors, cfg, max_iter=max_iter_init,
+                min_iter=5, delay_fit_theta=delay_fit_theta))(batched)
 
-    if verbose:
-        print("[vireo] lower bound ranges [%.1f, %.1f, %.1f]"
-              % (np.min(elbo_all), np.median(elbo_all), np.max(elbo_all)))
+            binom_coeff = float(jax.device_get(counts.binom_coeff_sum()))
+            elbo_all = np.asarray(jax.device_get(warm.elbo_ref)) \
+                + binom_coeff
+            best = int(np.argmax(elbo_all))
+            best_state = jax.tree.map(
+                lambda x: jnp.asarray(np.asarray(x)[best]), warm.state)
+        if checkpoint_dir:
+            ckpt.save_state(checkpoint_dir, 0, best_state,
+                            extra={"elbo_all": elbo_all})
+            ckpt.save_rng(checkpoint_dir, "rng_0")
 
-    # ---- donor-subset prior: keep largest donors, refit fixed
-    # (vireo_wrap.py:111-119)
-    if GT_prior is not None and n_donor < GT_prior.shape[1]:
-        _donor_cnt = np.sum(modelCA.ID_prob, axis=0)
-        _donor_idx = np.argsort(_donor_cnt)[::-1]
-        GT_prior_use = GT_prior[:, _donor_idx[:n_donor], :]
+    if resume is not None and resume >= 1:
+        state1, priors1, ex1 = ckpt.load_state(checkpoint_dir, 1,
+                                               dtype=dtype)
+        ckpt.load_rng(checkpoint_dir, "rng_1")
+        modelCA = _model_from_state(
+            counts, cfg_kwargs, int(ex1["n_donor"]),
+            bool(ex1["learn_GT"]), state1, None, dtype)
+        modelCA.state = state1        # verbatim (init_state renormalizes)
+        modelCA.priors = priors1      # branch-dependent GT prior
+        modelCA.ELBO_ = np.asarray(ex1["ELBO_"])
+        if verbose:
+            print("[vireo] lower bound ranges [%.1f, %.1f, %.1f]"
+                  % (np.min(elbo_all), np.median(elbo_all),
+                     np.max(elbo_all)))
+    else:
+        modelCA = _model_from_state(counts, cfg_kwargs, n_donor_use,
+                                    learn_GT, best_state, GT_prior_use,
+                                    dtype)
+        modelCA.ELBO_ = np.asarray([elbo_all[np.argmax(elbo_all)]])
 
-        # note: the reference deliberately keeps the DEFAULT (uniform)
-        # GT prior here — only the init is pinned (vireo_wrap.py:116-119)
-        modelCA = Vireo(n_cell=counts.n_cell, n_var=counts.n_var,
-                        n_donor=n_donor, learn_GT=False,
-                        GT_prob_init=GT_prior_use, dtype=dtype,
-                        **cfg_kwargs)
-        modelCA.fit(counts, min_iter=20, verbose=False)
+        # ---- long refit of the winner / extra-donor reduction
+        # (vireo_wrap.py:89-105)
+        with phase("refit"):
+            if n_extra_donor == 0:
+                modelCA.fit(counts, min_iter=5, verbose=False)
+            else:
+                _ID_prob = donor_select(modelCA.GT_prob, modelCA.ID_prob,
+                                        n_donor, mode=extra_donor_mode,
+                                        verbose=verbose)
+                modelCA = Vireo(n_cell=counts.n_cell, n_var=counts.n_var,
+                                n_donor=n_donor, learn_GT=learn_GT,
+                                GT_prob_init=GT_prior_use,
+                                ID_prob_init=_ID_prob,
+                                beta_mu_init=modelCA.beta_mu,
+                                beta_sum_init=modelCA.beta_sum,
+                                dtype=dtype, **cfg_kwargs)
+                modelCA.set_prior(GT_prior=GT_prior_use)
+                modelCA.fit(counts, min_iter=5,
+                            delay_fit_theta=delay_fit_theta,
+                            verbose=False)
 
-    # ---- donor-superset prior: graft known donors into matched slots
-    # (vireo_wrap.py:121-136)
-    elif GT_prior is not None and n_donor > GT_prior.shape[1]:
-        GT_prior_use = modelCA.GT_prob.copy()
-        idx = optimal_match(GT_prior, GT_prior_use)[1]
-        GT_prior_use[:, idx, :] = GT_prior
-        _idx_order = np.append(idx, np.delete(np.arange(n_donor), idx))
-        GT_prior_use = GT_prior_use[:, _idx_order, :]
-        ID_prob_use = modelCA.ID_prob[:, _idx_order]
+            if verbose:
+                print("[vireo] lower bound ranges [%.1f, %.1f, %.1f]"
+                      % (np.min(elbo_all), np.median(elbo_all),
+                         np.max(elbo_all)))
 
-        modelCA = Vireo(n_cell=counts.n_cell, n_var=counts.n_var,
-                        n_donor=n_donor, learn_GT=learn_GT,
-                        ID_prob_init=ID_prob_use,
-                        beta_mu_init=modelCA.beta_mu,
-                        beta_sum_init=modelCA.beta_sum,
-                        GT_prob_init=GT_prior_use, dtype=dtype,
-                        **cfg_kwargs)
-        modelCA.set_prior(GT_prior=GT_prior_use)
-        modelCA.fit(counts, min_iter=20, verbose=False)
+            # ---- donor-subset prior: keep largest donors, refit fixed
+            # (vireo_wrap.py:111-119)
+            if GT_prior is not None and n_donor < GT_prior.shape[1]:
+                _donor_cnt = np.sum(modelCA.ID_prob, axis=0)
+                _donor_idx = np.argsort(_donor_cnt)[::-1]
+                GT_prior_use = GT_prior[:, _donor_idx[:n_donor], :]
+
+                # note: the reference deliberately keeps the DEFAULT
+                # (uniform) GT prior here — only the init is pinned
+                # (vireo_wrap.py:116-119)
+                modelCA = Vireo(n_cell=counts.n_cell, n_var=counts.n_var,
+                                n_donor=n_donor, learn_GT=False,
+                                GT_prob_init=GT_prior_use, dtype=dtype,
+                                **cfg_kwargs)
+                modelCA.fit(counts, min_iter=20, verbose=False)
+
+            # ---- donor-superset prior: graft known donors into slots
+            # (vireo_wrap.py:121-136)
+            elif GT_prior is not None and n_donor > GT_prior.shape[1]:
+                GT_prior_use = modelCA.GT_prob.copy()
+                idx = optimal_match(GT_prior, GT_prior_use)[1]
+                GT_prior_use[:, idx, :] = GT_prior
+                _idx_order = np.append(idx,
+                                       np.delete(np.arange(n_donor), idx))
+                GT_prior_use = GT_prior_use[:, _idx_order, :]
+                ID_prob_use = modelCA.ID_prob[:, _idx_order]
+
+                modelCA = Vireo(n_cell=counts.n_cell, n_var=counts.n_var,
+                                n_donor=n_donor, learn_GT=learn_GT,
+                                ID_prob_init=ID_prob_use,
+                                beta_mu_init=modelCA.beta_mu,
+                                beta_sum_init=modelCA.beta_sum,
+                                GT_prob_init=GT_prior_use, dtype=dtype,
+                                **cfg_kwargs)
+                modelCA.set_prior(GT_prior=GT_prior_use)
+                modelCA.fit(counts, min_iter=20, verbose=False)
+
+        if checkpoint_dir:
+            ckpt.save_state(checkpoint_dir, 1, modelCA.state,
+                            priors=modelCA.priors,
+                            extra={"elbo_all": elbo_all,
+                                   "ELBO_": modelCA.ELBO_,
+                                   "n_donor": modelCA.n_donor,
+                                   "learn_GT": modelCA.config.learn_GT})
+            ckpt.save_rng(checkpoint_dir, "rng_1")
 
     if verbose:
         print("[vireo] allelic rate mean and concentrations:")
@@ -229,8 +301,9 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
     # ---- doublet prediction (vireo_wrap.py:150-156)
     n_donor_final = modelCA.n_donor
     if check_doublet:
-        doublet_prob, ID_prob, doublet_LLR = predict_doublet(
-            modelCA, counts, None)
+        with phase("doublet"):
+            doublet_prob, ID_prob, doublet_LLR = predict_doublet(
+                modelCA, counts, None)
     else:
         ID_prob = modelCA.ID_prob
         doublet_prob = np.zeros(
@@ -243,10 +316,14 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
 
     # ---- ambient RNA (vireo_wrap.py:161-168)
     if check_ambient:
-        ambient_Psi, Psi_var, Psi_logLik_ratio = predit_ambient(
-            modelCA, counts, None)
+        with phase("ambient"):
+            ambient_Psi, Psi_var, Psi_logLik_ratio = predit_ambient(
+                modelCA, counts, None)
     else:
         ambient_Psi, Psi_var, Psi_logLik_ratio = None, None, None
+
+    if timer is not None:
+        print(timer.summary())
 
     RV = {}
     RV['ID_prob'] = np.asarray(ID_prob)

@@ -55,6 +55,17 @@ def add_doublet_GT(GT_prob):
     return jnp.concatenate([GT_singlet, GT_pairs], axis=1)
 
 
+def _doublet_weights(gt_both, beta_mu_both, beta_sum_both):
+    """Fold the expanded genotype tensor and theta digammas into the
+    two (n_var, K_expanded) weight matrices of the cell E-step."""
+    d1, d2, ds = digamma_triplet(beta_mu_both * beta_sum_both,
+                                 (1.0 - beta_mu_both) * beta_sum_both)
+    Wa = jnp.sum(gt_both * d1[:, None, :], axis=-1)
+    Wb = jnp.sum(gt_both * d2[:, None, :], axis=-1)
+    Ws = jnp.sum(gt_both * ds[:, None, :], axis=-1)
+    return Wa - Wb, Wb - Ws
+
+
 @jax.jit
 def doublet_loglik(counts, gt_both, beta_mu_both, beta_sum_both):
     """(n_cell, K + C(K,2)) assignment log-likelihood over the expanded
@@ -63,12 +74,61 @@ def doublet_loglik(counts, gt_both, beta_mu_both, beta_sum_both):
     Jitted: eagerly, the int8->bf16 operand cast inside cell_loglik
     materializes matrix-sized copies (2 x 6 GB at 30k x 100k) instead
     of fusing into the matmul read."""
-    d1, d2, ds = digamma_triplet(beta_mu_both * beta_sum_both,
-                                 (1.0 - beta_mu_both) * beta_sum_both)
-    Wa = jnp.sum(gt_both * d1[:, None, :], axis=-1)
-    Wb = jnp.sum(gt_both * d2[:, None, :], axis=-1)
-    Ws = jnp.sum(gt_both * ds[:, None, :], axis=-1)
-    return counts.cell_loglik(Wa - Wb, Wb - Ws)
+    Wfa, Wfd = _doublet_weights(gt_both, beta_mu_both, beta_sum_both)
+    return counts.cell_loglik(Wfa, Wfd)
+
+
+def _fused_doublet_mode(counts, vobj):
+    """Decide whether the single-pass Pallas path applies: int8 dense
+    counts on one TPU device with a shared (row-broadcast) ID prior.
+    VIREO_FUSED_DOUBLET=0 disables; =interpret runs the kernel in
+    interpreter mode (CPU tests)."""
+    import os
+    from ..ops.counts import DenseCounts
+    knob = os.environ.get("VIREO_FUSED_DOUBLET", "auto").lower()
+    if knob in ("0", "off", "no"):
+        return None
+    if not isinstance(counts, DenseCounts):
+        return None
+    if counts.ad.dtype not in (jnp.int8, jnp.bfloat16):
+        return None
+    if np.asarray(vobj.priors.id_log).shape[0] != 1:
+        return None
+    if len(counts.ad.devices()) != 1:
+        return None  # pallas_call is not SPMD-partitioned
+    if knob == "interpret":
+        return "interpret"
+    if jax.devices()[0].platform == "tpu":
+        return "kernel"
+    return None
+
+
+def fused_doublet_estep(counts, gt_both, mu_both, sum_both,
+                        log_prior_both, n_donor, cell_block=128,
+                        interpret=False):
+    """One Pallas pass producing the expanded-space E-step AND the
+    singlet-slice sufficient statistics for the follow-up GT update —
+    the host path reads the count matrices six times for the same
+    result (loglik pass + update_GT_prob's full em_step); this reads
+    them once. See ops/pallas_em.py.
+
+    Returns (S1, SS, ID_prob_both, logLik_ID) with cells unpadded.
+    """
+    from ..ops.pallas_em import fused_estep_stats, pad_to
+
+    Wfa, Wfd = _doublet_weights(gt_both, mu_both, sum_both)
+    V, C = counts.ad.shape
+    ad = pad_to(counts.ad, (32, cell_block))
+    dp = pad_to(counts.dp, (32, cell_block))
+    Wfa = pad_to(Wfa.astype(jnp.float32), (32, 1))
+    Wfd = pad_to(Wfd.astype(jnp.float32), (32, 1))
+
+    S1, SS, id_prob, loglik, _, _ = fused_estep_stats(
+        ad, dp, Wfa, Wfd,
+        jnp.asarray(log_prior_both, jnp.float32).reshape(1, -1),
+        cell_block=cell_block, interpret=interpret,
+        stats_cols=n_donor)
+    return S1[:V], SS[:V], id_prob[:C], loglik[:C]
 
 
 def predict_doublet(vobj, AD, DP=None, update_GT=True, update_ID=True,
@@ -97,19 +157,39 @@ def predict_doublet(vobj, AD, DP=None, update_GT=True, update_ID=True,
         [id_prior * (1 - doublet_rate_prior),
          np.full((n_cell, n_pair), doublet_rate_prior / n_pair)], axis=1)
 
-    logLik_ID = doublet_loglik(counts, gt_both, mu_both, sum_both)
-    logLik_ID = np.asarray(logLik_ID)
+    fused = _fused_doublet_mode(counts, vobj)
+    S1 = SS = None
+    if fused is not None:
+        # single HBM pass: E-step + singlet GT stats from the kernel
+        S1, SS, ID_prob_both, logLik_ID = fused_doublet_estep(
+            counts, gt_both, mu_both, sum_both,
+            np.log(prior_both[0]), K,
+            interpret=(fused == "interpret"))
+        ID_prob_both = np.asarray(ID_prob_both)
+        logLik_ID = np.asarray(logLik_ID)
+    else:
+        logLik_ID = np.asarray(
+            doublet_loglik(counts, gt_both, mu_both, sum_both))
+        ID_prob_both = np.asarray(softmax_from_loglik(
+            jnp.asarray(logLik_ID), jnp.asarray(np.log(prior_both),
+                                                logLik_ID.dtype)))
 
     logLik_ratio = (logLik_ID[:, K:].max(axis=1)
                     - logLik_ID[:, :K].max(axis=1))
 
-    ID_prob_both = np.asarray(softmax_from_loglik(
-        jnp.asarray(logLik_ID), jnp.asarray(np.log(prior_both),
-                                            logLik_ID.dtype)))
-
     if update_ID:
         vobj.ID_prob = ID_prob_both[:, :K]
-        if update_GT:
+        if update_GT and S1 is not None:
+            # GT refresh straight from the kernel's statistics — skips
+            # update_GT_prob's full extra pass over the count matrices
+            from .vireo import updates_from_stats
+            cfg = dataclasses.replace(vobj.config, learn_GT=True,
+                                      learn_theta=False)
+            _, _, gt_prob, _, _ = updates_from_stats(
+                jnp.asarray(S1, vobj.dtype), jnp.asarray(SS, vobj.dtype),
+                vobj.state, vobj.priors, cfg, update_theta=False)
+            vobj.state = dataclasses.replace(vobj.state, gt_prob=gt_prob)
+        elif update_GT:
             vobj.update_GT_prob(counts, None)
     elif update_GT:
         print("For update_GT, please turn on update_ID.")

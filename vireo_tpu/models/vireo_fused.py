@@ -106,7 +106,7 @@ def fused_em_iteration(data, S1, SS, state, priors, cfg, update_theta,
     beta_mu, beta_sum, gt_prob, (Wfa, Wfd), kl_params = \
         updates_from_stats(S1, SS, state, priors, cfg, update_theta)
 
-    S1n, SSn, id_prob, lb_p, kl_id = fused_estep_stats(
+    S1n, SSn, id_prob, _, lb_p, kl_id = fused_estep_stats(
         data.ad, data.dp, Wfa.astype(jnp.float32),
         Wfd.astype(jnp.float32),
         priors.id_log.astype(jnp.float32).reshape(1, -1),

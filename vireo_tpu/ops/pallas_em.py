@@ -44,7 +44,7 @@ def pad_to(x, multiples, constant=0):
 
 
 def _kernel(ad_ref, dp_ref, w_ref, prior_ref, s_ref, id_ref, scal_ref,
-            *, K):
+            *, K, K_stats):
     i = pl.program_id(0)
 
     ad = ad_ref[:].astype(jnp.bfloat16)          # (V, CB)
@@ -62,11 +62,15 @@ def _kernel(ad_ref, dp_ref, w_ref, prior_ref, s_ref, id_ref, scal_ref,
     logp -= jnp.max(logp, axis=-1, keepdims=True)
     e = jnp.exp(logp)
     id_prob = e / jnp.sum(e, axis=-1, keepdims=True)
-    id_ref[:] = id_prob
+    id_ref[:, :K] = id_prob
+    id_ref[:, K:] = loglik                        # raw loglik (LLR use)
 
-    # variant-side sufficient statistics on the SAME resident block
-    idb = id_prob.astype(jnp.bfloat16)
-    s1 = jnp.dot(ad, idb, preferred_element_type=jnp.float32)   # (V, K)
+    # variant-side sufficient statistics on the SAME resident block;
+    # only the first K_stats assignment columns feed the stats (for the
+    # doublet phase that is the unrenormalized singlet slice,
+    # vireo_doublet.py:70-80 semantics)
+    idb = id_prob[:, :K_stats].astype(jnp.bfloat16)
+    s1 = jnp.dot(ad, idb, preferred_element_type=jnp.float32)
     ss = jnp.dot(dp, idb, preferred_element_type=jnp.float32)
 
     @pl.when(i == 0)
@@ -75,8 +79,8 @@ def _kernel(ad_ref, dp_ref, w_ref, prior_ref, s_ref, id_ref, scal_ref,
         scal_ref[0, 0] = 0.0
         scal_ref[0, 1] = 0.0
 
-    s_ref[:, :K] += s1
-    s_ref[:, K:] += ss
+    s_ref[:, :K_stats] += s1
+    s_ref[:, K_stats:] += ss
 
     lb_p = jnp.sum(loglik * id_prob)
     safe_log = jnp.log(jnp.where(id_prob > 0, id_prob, 1.0))
@@ -86,9 +90,10 @@ def _kernel(ad_ref, dp_ref, w_ref, prior_ref, s_ref, id_ref, scal_ref,
     scal_ref[0, 1] = scal_ref[0, 1] + kl_id
 
 
-@functools.partial(jax.jit, static_argnames=("cell_block", "interpret"))
+@functools.partial(jax.jit, static_argnames=("cell_block", "interpret",
+                                              "stats_cols"))
 def fused_estep_stats(ad, dp, Wa, Wd, id_log_prior, cell_block=128,
-                      interpret=False):
+                      interpret=False, stats_cols=None):
     """One fused pass over (ad, dp).
 
     ad, dp: (V, C) int8/bf16, V and C already padded (V % 32 == 0,
@@ -96,12 +101,16 @@ def fused_estep_stats(ad, dp, Wa, Wd, id_log_prior, cell_block=128,
     Wa, Wd: (V, K) f32 weight matrices (digamma-folded; padded rows
     need finite values — their counts are zero so they contribute 0).
     id_log_prior: (1, K) f32.
+    stats_cols: restrict the sufficient statistics to the first
+    `stats_cols` assignment columns (default all K) — the doublet phase
+    feeds only the singlet slice into the GT update.
 
-    Returns (S1 (V,K) f32, SS (V,K) f32, id_prob (C,K) f32,
-             lb_p scalar, kl_id scalar).
+    Returns (S1 (V,Ks) f32, SS (V,Ks) f32, id_prob (C,K) f32,
+             loglik (C,K) f32, lb_p scalar, kl_id scalar).
     """
     V, C = ad.shape
     K = Wa.shape[1]
+    Ks = K if stats_cols is None else int(stats_cols)
     assert C % cell_block == 0, (C, cell_block)
 
     W = jnp.concatenate([Wa, Wd], axis=1).astype(jnp.bfloat16)
@@ -109,8 +118,8 @@ def fused_estep_stats(ad, dp, Wa, Wd, id_log_prior, cell_block=128,
 
     grid = (C // cell_block,)
     out_shape = (
-        jax.ShapeDtypeStruct((V, 2 * K), jnp.float32),      # S
-        jax.ShapeDtypeStruct((C, K), jnp.float32),          # id_prob
+        jax.ShapeDtypeStruct((V, 2 * Ks), jnp.float32),     # S
+        jax.ShapeDtypeStruct((C, 2 * K), jnp.float32),      # id | loglik
         jax.ShapeDtypeStruct((1, 2), jnp.float32),          # lb_p, kl_id
     )
     in_specs = [
@@ -123,18 +132,18 @@ def fused_estep_stats(ad, dp, Wa, Wd, id_log_prior, cell_block=128,
         pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     out_specs = (
-        pl.BlockSpec((V, 2 * K), lambda i: (0, 0),
+        pl.BlockSpec((V, 2 * Ks), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((cell_block, K), lambda i: (i, 0),
+        pl.BlockSpec((cell_block, 2 * K), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
     )
 
     flops = 4 * 2 * V * cell_block * K * grid[0]
     bytes_accessed = (ad.size * ad.dtype.itemsize * 2
-                      + V * 2 * K * 4 + C * K * 4)
-    S, id_prob, scal = pl.pallas_call(
-        functools.partial(_kernel, K=K),
+                      + V * 2 * Ks * 4 + C * 2 * K * 4)
+    S, id_ll, scal = pl.pallas_call(
+        functools.partial(_kernel, K=K, K_stats=Ks),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -149,4 +158,5 @@ def fused_estep_stats(ad, dp, Wa, Wd, id_log_prior, cell_block=128,
         interpret=interpret,
     )(ad, dp, W, prior)
 
-    return S[:, :K], S[:, K:], id_prob, scal[0, 0], scal[0, 1]
+    return (S[:, :Ks], S[:, Ks:], id_ll[:, :K], id_ll[:, K:],
+            scal[0, 0], scal[0, 1])
