@@ -73,3 +73,34 @@ def test_gtbarcode_matches_reference_golden(tmp_path):
     with open(out) as f, open(
             os.path.join(HERE, "goldens", "GT_barcodes.tsv")) as g:
         assert f.read() == g.read()
+
+
+@pytest.mark.parametrize("mode,golden,extra", [
+    ("ambient", "donor_ids_ambient.tsv", ["--callAmbientRNAs"]),
+    ("ase", "donor_ids_ase.tsv", ["--ASEmode"]),
+    ("cellrange", "donor_ids_cellrange.tsv", ["--cellRange", "100-600"]),
+])
+def test_cli_flag_goldens(mode, golden, extra, tmp_path):
+    """--callAmbientRNAs / --ASEmode / --cellRange end-to-end vs fresh
+    reference runs (goldens regenerated with /root/reference vireoSNP,
+    --randSeed 2; see vireo.py:77-78,136-142,204-210)."""
+    want = _read_ids(os.path.join(HERE, "goldens", golden))
+    got = _run_cli(["-c", DATA + "/cellSNP_mat", "-N", "4"] + extra,
+                   tmp_path / mode)
+    assert [r[0] for r in want] == [r[0] for r in got]
+    ids_w = np.array([r[1] for r in want])
+    ids_g = np.array([r[1] for r in got])
+    assert (ids_w == ids_g).all(), \
+        "%s: %d/%d donor calls differ" % (mode, (ids_w != ids_g).sum(),
+                                          len(ids_w))
+
+    if mode == "ambient":
+        # ambient proportions: f32 device EM vs the reference's f64
+        # host EM — agree numerically, not textually
+        ours = np.loadtxt(os.path.join(str(tmp_path), mode,
+                                       "prop_ambient.tsv"),
+                          skiprows=1, usecols=(1, 2, 3, 4))
+        ref = np.loadtxt(os.path.join(HERE, "goldens",
+                                      "prop_ambient.tsv"),
+                         skiprows=1, usecols=(1, 2, 3, 4))
+        np.testing.assert_allclose(ours, ref, atol=5e-3)
