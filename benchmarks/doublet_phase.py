@@ -45,6 +45,7 @@ def main():
     n_cell = int(os.environ.get("BENCH_CELLS", 100_000))
     n_var = int(os.environ.get("BENCH_VARS", 30_000))
     K = int(os.environ.get("BENCH_DONORS", 16))
+    block = int(os.environ.get("BENCH_BLOCK", 128))
 
     t0 = time.time()
     d = synth_pool_dense_device(n_var=n_var, n_cell=n_cell, n_donor=K,
@@ -81,8 +82,8 @@ def main():
         return jnp.sum(gt_prob) + jnp.sum(llr) + jnp.sum(id_sing)
 
     # ---- fused path: ONE pass (kernel computes E-step + stats)
-    ad_p = pad_to(counts.ad, (32, 128))
-    dp_p = pad_to(counts.dp, (32, 128))
+    ad_p = pad_to(counts.ad, (32, block))
+    dp_p = pad_to(counts.dp, (32, block))
     jax.block_until_ready(ad_p)
 
     @jax.jit
@@ -92,7 +93,7 @@ def main():
         Wfd = pad_to(Wfd.astype(jnp.float32), (32, 1))
         S1, SS, id_both, ll, _, _ = fused_estep_stats(
             ad_p, dp_p, Wfa, Wfd, prior_both.reshape(1, -1),
-            cell_block=128, stats_cols=K)
+            cell_block=block, stats_cols=K)
         S1, SS = S1[:n_var], SS[:n_var]
         _, _, gt_prob, _, _ = updates_from_stats(
             S1, SS, state, priors, cfg, update_theta=False)

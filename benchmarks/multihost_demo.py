@@ -41,10 +41,12 @@ def worker(pid, nproc):
     n_dev = len(jax.devices())
     assert n_dev == 2 * nproc
 
-    d = synth_pool_counts(n_var=800, n_cell=2400, n_donor=4,
+    n_var = int(os.environ.get("MH_VARS", 800))
+    n_cell = int(os.environ.get("MH_CELLS", 2400))
+    d = synth_pool_counts(n_var=n_var, n_cell=n_cell, n_donor=4,
                           doublet_rate=0.05, density=0.02, seed=0)
     arrays, meta = build_cell_sharded_coo(d["AD"], d["DP"], n_dev)
-    cfg = VireoConfig(n_var=800, n_cell=meta["n_cell_pad"], n_donor=4)
+    cfg = VireoConfig(n_var=n_var, n_cell=meta["n_cell_pad"], n_donor=4)
     rng = np.random.RandomState(1)
     state = init_state(cfg, rng=rng, dtype=np.float32)
     priors = default_priors(cfg, dtype=np.float32)
@@ -54,11 +56,16 @@ def worker(pid, nproc):
     r1 = sharded_fit_vb(mesh, arrays, meta, state, priors, cfg,
                         min_iter=1, max_iter=1)
     jax.block_until_ready(r1.elbo_final)
-    t0 = time.time()
     r30 = sharded_fit_vb(mesh, arrays, meta, state, priors, cfg,
-                         min_iter=30, max_iter=30)
+                         min_iter=30, max_iter=30)  # compile
     jax.block_until_ready(r30.elbo_final)
-    dt = time.time() - t0
+    dt = np.inf
+    for _ in range(3):
+        t0 = time.time()
+        jax.block_until_ready(sharded_fit_vb(
+            mesh, arrays, meta, state, priors, cfg,
+            min_iter=30, max_iter=30).elbo_final)
+        dt = min(dt, time.time() - t0)
     # dense path via the per-process cell-range loader: each process
     # reads only its columns of the bundled demo data, the global
     # array is assembled with make_array_from_process_local_data
@@ -101,10 +108,12 @@ def single_process_elbo():
                                         default_priors)
     from vireo_tpu.sim.synth import synth_pool_counts
 
-    d = synth_pool_counts(n_var=800, n_cell=2400, n_donor=4,
+    n_var = int(os.environ.get("MH_VARS", 800))
+    n_cell = int(os.environ.get("MH_CELLS", 2400))
+    d = synth_pool_counts(n_var=n_var, n_cell=n_cell, n_donor=4,
                           doublet_rate=0.05, density=0.02, seed=0)
     arrays, meta = build_cell_sharded_coo(d["AD"], d["DP"], 4)
-    cfg = VireoConfig(n_var=800, n_cell=meta["n_cell_pad"], n_donor=4)
+    cfg = VireoConfig(n_var=n_var, n_cell=meta["n_cell_pad"], n_donor=4)
     rng = np.random.RandomState(1)
     state = init_state(cfg, rng=rng, dtype=np.float32)
     priors = default_priors(cfg, dtype=np.float32)
@@ -112,7 +121,16 @@ def single_process_elbo():
     r1 = sharded_fit_vb(mesh, arrays, meta, state, priors, cfg,
                         min_iter=1, max_iter=1)
     r30 = sharded_fit_vb(mesh, arrays, meta, state, priors, cfg,
-                         min_iter=30, max_iter=30)
+                         min_iter=30, max_iter=30)  # compile
+    jax.block_until_ready(r30.elbo_final)
+    import time
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        jax.block_until_ready(sharded_fit_vb(
+            mesh, arrays, meta, state, priors, cfg,
+            min_iter=30, max_iter=30).elbo_final)
+        dt = min(dt, time.time() - t0)
 
     from vireo_tpu.parallel.loader import (load_cellSNP_sharded,
                                            dense_counts_from_local)
@@ -130,7 +148,8 @@ def single_process_elbo():
     print(json.dumps({"metric": "singleprocess_elbo",
                       "elbo1": float(r1.elbo_final),
                       "elbo30": float(r30.elbo_final),
-                      "dense_loader_elbo1": float(dres.elbo_final)}))
+                      "dense_loader_elbo1": float(dres.elbo_final),
+                      "fit_s": round(dt, 3)}))
 
 
 def main():
@@ -162,6 +181,14 @@ def main():
     reld = (abs(multi["dense_loader_elbo1"] - single["dense_loader_elbo1"])
             / abs(single["dense_loader_elbo1"]))
     assert reld < 1e-5, reld
+    # throughput: same global problem and SAME total device count (4),
+    # run inside one process vs split across `nproc` processes whose
+    # collectives ride localhost TCP — the measured cross-process
+    # overhead to report next to the analytic ICI projection. (All
+    # virtual devices share these physical cores, so true multi-host
+    # speedup cannot be measured here, only the comm overhead bound.)
+    iters_single = 30.0 / single["fit_s"]
+    iters_multi = 30.0 / multi["fit_s"]
     print(json.dumps({
         "metric": "multihost_elbo_parity",
         "value": rel1,
@@ -170,7 +197,11 @@ def main():
         "single_elbo30": single["elbo30"],
         "multi_elbo30": multi["elbo30"],
         "n_processes": nproc,
-        "fit_s": multi["fit_s"],
+        "fit_s_1proc": single["fit_s"],
+        "fit_s_multiproc": multi["fit_s"],
+        "iters_per_s_1proc": round(iters_single, 2),
+        "iters_per_s_multiproc": round(iters_multi, 2),
+        "crossproc_efficiency": round(iters_multi / iters_single, 4),
         "ok": rel1 < 1e-6 and rel30 < 1e-3,
     }))
     assert rel1 < 1e-6 and rel30 < 1e-3

@@ -66,3 +66,145 @@ def test_pool_barcodes_doublet_accounting():
 def test_pool_bams_requires_pysam():
     with pytest.raises(ImportError, match="pysam"):
         pool_bams(["x.bam"], [["a"]], [1], "/tmp/x")
+
+
+# ---------------------------------------------------------------------
+# Read-level pool pipeline (pool_bams) through an in-memory BAM
+# backend: position fetch from a region VCF, barcode relabeling,
+# read-name dedupe, sharding (synth_pool.py:98-190,326-376 semantics).
+# ---------------------------------------------------------------------
+
+class FakeRead:
+    def __init__(self, name, chrom, pos, tags):
+        self.query_name = name
+        self.chrom, self.pos = chrom, pos
+        self.tags = dict(tags)
+
+    def has_tag(self, t):
+        return t in self.tags
+
+    def get_tag(self, t):
+        return self.tags[t]
+
+    def set_tag(self, t, v):
+        self.tags[t] = v
+
+
+class FakeBam:
+    def __init__(self, reads):
+        self.reads = reads
+
+    def fetch(self, chrom=None, start=None, stop=None, until_eof=False):
+        if chrom is None:
+            yield from self.reads
+            return
+        for r in self.reads:
+            if r.chrom == chrom and start <= r.pos < stop:
+                yield r
+
+    def close(self):
+        pass
+
+
+class FakeSink(list):
+    def write(self, read):
+        self.append(read)
+
+    def close(self):
+        pass
+
+
+class FakeBackend:
+    """In-memory double of the pysam backend."""
+
+    def __init__(self, bams):
+        self.bams = bams
+        self.sink = FakeSink()
+        self.finalized = None
+
+    def open(self, path):
+        return self.bams[path]
+
+    def create(self, path, template):
+        return self.sink
+
+    def finalize(self, path, out_prefix):
+        self.finalized = out_prefix + ".sorted.bam"
+        return self.finalized
+
+
+def _region_vcf(tmp_path, rows):
+    p = tmp_path / "regions.vcf"
+    lines = ["##fileformat=VCFv4.2",
+             "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"]
+    for chrom, pos in rows:
+        lines.append("%s\t%d\t.\tA\tC\t.\tPASS\t." % (chrom, pos))
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_shard_regions_contiguous_cover():
+    from vireo_tpu.sim.pool_bam import shard_regions
+    chroms = ["1"] * 7 + ["2"] * 6
+    positions = list(range(100, 113))
+    shards = shard_regions(chroms, positions, 4)
+    assert sum(len(p) for _, p in shards) == 13
+    flat = [p for _, p in shards for p in p]
+    assert flat == positions                      # order preserved
+    assert len(shards) == 4
+
+
+def test_pool_bams_fetch_dedupe_relabel(tmp_path):
+    from vireo_tpu.sim.pool_bam import pool_bams
+
+    # donor 0: read r1 overlaps TWO SNP positions (must be written
+    # once); read r2 has an unknown barcode (dropped); read r3 has no
+    # CB tag (dropped). donor 1: r4 kept.
+    bam0 = FakeBam([
+        FakeRead("r1", "1", 100, {"CB": "AAA"}),
+        FakeRead("r1", "1", 105, {"CB": "AAA"}),
+        FakeRead("r2", "1", 100, {"CB": "ZZZ"}),
+        FakeRead("r3", "1", 105, {}),
+    ])
+    bam1 = FakeBam([
+        FakeRead("r4", "1", 105, {"CB": "BBB"}),
+        FakeRead("r5", "2", 50, {"CB": "BBB"}),   # off-SNP: dropped
+    ])
+    backend = FakeBackend({"d0.bam": bam0, "d1.bam": bam1})
+    vcf = _region_vcf(tmp_path, [("1", 101), ("1", 106)])
+
+    rng = np.random.RandomState(0)
+    out = pool_bams(["d0.bam", "d1.bam"], [["AAA"], ["BBB"]], [1, 1],
+                    str(tmp_path / "pool"), doublet_rate=0.0,
+                    region_vcf=vcf, nproc=2, rng=rng, backend=backend)
+    assert out == str(tmp_path / "pool") + ".sorted.bam"
+
+    names = sorted(r.query_name for r in backend.sink)
+    assert names == ["r1", "r4"]                  # deduped + filtered
+    tags = {r.query_name: r.get_tag("CB") for r in backend.sink}
+    assert tags["r1"].startswith("AAA") and tags["r1"].endswith("S")
+    assert tags["r4"].startswith("BBB") and tags["r4"].endswith("S")
+
+    truth = (tmp_path / "pool.cell_info.tsv").read_text().splitlines()
+    assert truth[0] == "barcode\tdonors\tis_doublet"
+    assert len(truth) == 3
+
+
+def test_pool_bams_whole_file_and_doublets(tmp_path):
+    from vireo_tpu.sim.pool_bam import pool_bams
+
+    reads = [FakeRead("r%d" % i, "1", i, {"CB": bc})
+             for i, bc in enumerate(["A", "B", "C", "D"])]
+    backend = FakeBackend({"x.bam": FakeBam(reads)})
+    rng = np.random.RandomState(3)
+    pool_bams(["x.bam"], [["A", "B", "C", "D"]], [4],
+              str(tmp_path / "p2"), doublet_rate=0.5, rng=rng,
+              backend=backend)
+    # doublet pairs: round(4 / (1 + 1/0.5)) = 1 pair -> the two merged
+    # cells share one pooled barcode ending in D
+    tags = [r.get_tag("CB") for r in backend.sink]
+    assert len(tags) == 4
+    d_tags = [t for t in tags if t.endswith("D")]
+    assert len(d_tags) == 2 and len(set(d_tags)) == 1
+    truth = (tmp_path / "p2.cell_info.tsv").read_text().splitlines()
+    assert len(truth) == 4                        # header + 2S + 1D

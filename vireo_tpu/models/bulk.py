@@ -92,10 +92,13 @@ class VireoBulk:
     (vireo_bulk.py:8-117); the EM itself runs jitted on device."""
 
     def __init__(self, n_donor, n_GT=3, psi_init=None,
-                 theta_init=(0.01, 0.5, 0.99), dtype=jnp.float64):
+                 theta_init=(0.01, 0.5, 0.99), dtype=None):
         self.n_GT = n_GT
         self.n_donor = n_donor
-        self.dtype = dtype
+        # full precision when x64 is on (reference parity); f32 on
+        # accelerators where f64 is unavailable
+        self.dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64
+                               else jnp.float32)
         self.psi = np.random.dirichlet([1] * n_donor)
         self.theta = np.random.rand(n_GT)
         if psi_init is not None:

@@ -79,14 +79,18 @@ def doublet_loglik(counts, gt_both, beta_mu_both, beta_sum_both):
 
 
 def _fused_doublet_mode(counts, vobj):
-    """Decide whether the single-pass Pallas path applies: int8 dense
-    counts on one TPU device with a shared (row-broadcast) ID prior.
-    VIREO_FUSED_DOUBLET=0 disables; =interpret runs the kernel in
-    interpreter mode (CPU tests)."""
+    """Whether the single-pass Pallas path applies. OPT-IN only
+    (VIREO_FUSED_DOUBLET=1, or =interpret for CPU tests): measured at
+    30k x 100k x 16 on TPU v5e, the XLA-native three-pass path runs the
+    doublet phase in 52 ms vs the kernel's 69 ms — the unfused int8
+    matmuls are already at the HBM roofline and XLA schedules the
+    V-deep transposed contraction better than the hand kernel (see
+    benchmarks/RESULTS.md). Requires int8/bf16 dense counts on one
+    device with a row-broadcast ID prior."""
     import os
     from ..ops.counts import DenseCounts
-    knob = os.environ.get("VIREO_FUSED_DOUBLET", "auto").lower()
-    if knob in ("0", "off", "no"):
+    knob = os.environ.get("VIREO_FUSED_DOUBLET", "0").lower()
+    if knob in ("0", "off", "no", "auto", ""):
         return None
     if not isinstance(counts, DenseCounts):
         return None
@@ -98,9 +102,7 @@ def _fused_doublet_mode(counts, vobj):
         return None  # pallas_call is not SPMD-partitioned
     if knob == "interpret":
         return "interpret"
-    if jax.devices()[0].platform == "tpu":
-        return "kernel"
-    return None
+    return "kernel"
 
 
 def fused_doublet_estep(counts, gt_both, mu_both, sum_both,

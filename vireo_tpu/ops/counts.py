@@ -143,22 +143,68 @@ class SparseCounts:
     def n_cell(self):
         return self.shape[1]
 
+    # gather/segment-sum contractions run in nnz blocks: unchunked, the
+    # (nnz, 2K) gather temporaries alone are ~4 GB at the 100k-cell
+    # north star (nnz ~30M, K=16) and several of them live at once —
+    # OOM on a 16 GB chip. Blocks keep the live set ~100 MB while the
+    # (n_var/n_cell, K) accumulators stay small.
+    NNZ_BLOCK = 1 << 21
+
+    def _blocked(self, contrib_fn, seg_ids, num_segments, out_cols,
+                 dtype):
+        """sum_i scatter(contrib_fn(slice_i)) into (num_segments, out_cols).
+
+        seg_ids is globally sorted, so every slice is sorted too."""
+        n = seg_ids.shape[0]
+        block = min(self.NNZ_BLOCK, n)
+        n_full = n // block
+
+        def seg(sl_contrib, sl_ids):
+            return jax.ops.segment_sum(sl_contrib, sl_ids,
+                                       num_segments=num_segments,
+                                       indices_are_sorted=True)
+
+        def body(i, acc):
+            lo = i * block
+            ids = jax.lax.dynamic_slice_in_dim(seg_ids, lo, block)
+            return acc + seg(contrib_fn(lo, block), ids)
+
+        acc = jnp.zeros((num_segments, out_cols), dtype)
+        if n_full:
+            acc = jax.lax.fori_loop(0, n_full, body, acc)
+        rem = n - n_full * block
+        if rem:
+            acc = acc + seg(contrib_fn(n_full * block, rem),
+                            seg_ids[n_full * block:])
+        return acc
+
     def suff_stats(self, W):
         K = W.shape[1]
-        x = jnp.take(W, self.cols_r, axis=0)               # (nnz, K)
-        both = jnp.concatenate(
-            [self.ad_r[:, None] * x, self.dp_r[:, None] * x], axis=1)
-        S = jax.ops.segment_sum(both, self.rows_r,
-                                num_segments=self.n_var,
-                                indices_are_sorted=True)
+
+        def contrib(lo, m):
+            c = jax.lax.dynamic_slice_in_dim(self.cols_r, lo, m)
+            a = jax.lax.dynamic_slice_in_dim(self.ad_r, lo, m)
+            d = jax.lax.dynamic_slice_in_dim(self.dp_r, lo, m)
+            x = jnp.take(W, c, axis=0)                     # (m, K)
+            return jnp.concatenate([a[:, None] * x, d[:, None] * x],
+                                   axis=1)
+
+        S = self._blocked(contrib, self.rows_r, self.n_var, 2 * K,
+                          W.dtype)
         return S[:, :K], S[:, K:]
 
     def cell_loglik(self, Wa, Wd):
-        contrib = (self.ad_c[:, None] * jnp.take(Wa, self.rows_c, axis=0)
-                   + self.dp_c[:, None] * jnp.take(Wd, self.rows_c, axis=0))
-        return jax.ops.segment_sum(contrib, self.cols_c,
-                                   num_segments=self.n_cell,
-                                   indices_are_sorted=True)
+        K = Wa.shape[1]
+
+        def contrib(lo, m):
+            r = jax.lax.dynamic_slice_in_dim(self.rows_c, lo, m)
+            a = jax.lax.dynamic_slice_in_dim(self.ad_c, lo, m)
+            d = jax.lax.dynamic_slice_in_dim(self.dp_c, lo, m)
+            return (a[:, None] * jnp.take(Wa, r, axis=0)
+                    + d[:, None] * jnp.take(Wd, r, axis=0))
+
+        return self._blocked(contrib, self.cols_c, self.n_cell, K,
+                             Wa.dtype)
 
     def binom_coeff_sum(self):
         return jnp.sum(log_binom_coeff(self.dp_r, self.ad_r))
