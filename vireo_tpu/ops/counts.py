@@ -134,6 +134,12 @@ class SparseCounts:
     dp_c: jax.Array
     shape: tuple = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
+    # CSR/CSC-style segment boundaries of the two sort orders. When
+    # present, the contractions reduce via per-block cumsum + boundary
+    # differences instead of segment_sum — measured 1.8x faster on TPU
+    # v5e at 30M nnz (scatter lowers poorly; see benchmarks/coo_micro).
+    row_ptr: jax.Array = None   # (n_var + 1,) into the row-sorted copy
+    col_ptr: jax.Array = None   # (n_cell + 1,) into the col-sorted copy
 
     @property
     def n_var(self):
@@ -150,48 +156,99 @@ class SparseCounts:
     # (n_var/n_cell, K) accumulators stay small.
     NNZ_BLOCK = 1 << 21
 
-    def _blocked(self, contrib_fn, seg_ids, num_segments, out_cols,
+    def _blocked(self, contrib_fn, seg_ids, ptr, num_segments, out_cols,
                  dtype):
-        """sum_i scatter(contrib_fn(slice_i)) into (num_segments, out_cols).
+        """sum_i reduce(contrib_fn(slice_i)) into (num_segments, out_cols).
 
-        seg_ids is globally sorted, so every slice is sorted too."""
+        seg_ids is globally sorted, so every slice is sorted too. With
+        segment boundaries `ptr` available, each block reduces via an
+        inclusive cumsum + per-segment boundary differences (clamped
+        into the block) — no scatter at all; otherwise a sorted
+        segment_sum. Prefix-sum differencing trades ~eps*(block/segment)
+        relative noise (~1e-4 in f32 at 1k-entry segments) for the
+        1.8x speedup, well inside the bf16-matmul tolerance the dense
+        path already accepts.
+        """
         n = seg_ids.shape[0]
         block = min(self.NNZ_BLOCK, n)
         n_full = n // block
 
-        def seg(sl_contrib, sl_ids):
-            return jax.ops.segment_sum(sl_contrib, sl_ids,
-                                       num_segments=num_segments,
-                                       indices_are_sorted=True)
-
-        def body(i, acc):
-            lo = i * block
-            ids = jax.lax.dynamic_slice_in_dim(seg_ids, lo, block)
-            return acc + seg(contrib_fn(lo, block), ids)
+        if ptr is None:
+            def reduce_block(lo, m, acc):
+                ids = jax.lax.dynamic_slice_in_dim(seg_ids, lo, m)
+                return acc + jax.ops.segment_sum(
+                    contrib_fn(lo, m), ids,
+                    num_segments=num_segments, indices_are_sorted=True)
+        else:
+            def reduce_block(lo, m, acc):
+                cs = jnp.cumsum(contrib_fn(lo, m), axis=0)
+                cs0 = jnp.concatenate(
+                    [jnp.zeros((1, out_cols), cs.dtype), cs])
+                b_lo = jnp.clip(ptr[:-1] - lo, 0, m)
+                b_hi = jnp.clip(ptr[1:] - lo, 0, m)
+                return acc + jnp.take(cs0, b_hi, axis=0) \
+                    - jnp.take(cs0, b_lo, axis=0)
 
         acc = jnp.zeros((num_segments, out_cols), dtype)
         if n_full:
-            acc = jax.lax.fori_loop(0, n_full, body, acc)
+            acc = jax.lax.fori_loop(
+                0, n_full, lambda i, a: reduce_block(i * block, block, a),
+                acc)
         rem = n - n_full * block
         if rem:
-            acc = acc + seg(contrib_fn(n_full * block, rem),
-                            seg_ids[n_full * block:])
+            acc = reduce_block(n_full * block, rem, acc)
         return acc
 
     def suff_stats(self, W):
         K = W.shape[1]
+        n = self.rows_r.shape[0]
+        block = min(self.NNZ_BLOCK, n)
+        n_full = n // block
+        ptr = self.row_ptr
 
-        def contrib(lo, m):
+        def gathered(lo, m):
             c = jax.lax.dynamic_slice_in_dim(self.cols_r, lo, m)
             a = jax.lax.dynamic_slice_in_dim(self.ad_r, lo, m)
             d = jax.lax.dynamic_slice_in_dim(self.dp_r, lo, m)
             x = jnp.take(W, c, axis=0)                     # (m, K)
-            return jnp.concatenate([a[:, None] * x, d[:, None] * x],
-                                   axis=1)
+            return a[:, None] * x, d[:, None] * x
 
-        S = self._blocked(contrib, self.rows_r, self.n_var, 2 * K,
-                          W.dtype)
-        return S[:, :K], S[:, K:]
+        if ptr is None:
+            def reduce_block(lo, m, acc):
+                ids = jax.lax.dynamic_slice_in_dim(self.rows_r, lo, m)
+                xa, xd = gathered(lo, m)
+                both = jnp.concatenate([xa, xd], axis=1)
+                s = jax.ops.segment_sum(both, ids,
+                                        num_segments=self.n_var,
+                                        indices_are_sorted=True)
+                return acc[0] + s[:, :K], acc[1] + s[:, K:]
+        else:
+            # two K-wide cumsums sharing one gather: a single 2K-wide
+            # reduction forces an 8x-padded transposed layout on TPU
+            def interval(x, lo, m):
+                cs = jnp.cumsum(x, axis=0)
+                cs0 = jnp.concatenate(
+                    [jnp.zeros((1, K), cs.dtype), cs])
+                b_lo = jnp.clip(ptr[:-1] - lo, 0, m)
+                b_hi = jnp.clip(ptr[1:] - lo, 0, m)
+                return jnp.take(cs0, b_hi, axis=0) \
+                    - jnp.take(cs0, b_lo, axis=0)
+
+            def reduce_block(lo, m, acc):
+                xa, xd = gathered(lo, m)
+                return (acc[0] + interval(xa, lo, m),
+                        acc[1] + interval(xd, lo, m))
+
+        acc = (jnp.zeros((self.n_var, K), W.dtype),
+               jnp.zeros((self.n_var, K), W.dtype))
+        if n_full:
+            acc = jax.lax.fori_loop(
+                0, n_full, lambda i, a: reduce_block(i * block, block, a),
+                acc)
+        rem = n - n_full * block
+        if rem:
+            acc = reduce_block(n_full * block, rem, acc)
+        return acc
 
     def cell_loglik(self, Wa, Wd):
         K = Wa.shape[1]
@@ -203,8 +260,8 @@ class SparseCounts:
             return (a[:, None] * jnp.take(Wa, r, axis=0)
                     + d[:, None] * jnp.take(Wd, r, axis=0))
 
-        return self._blocked(contrib, self.cols_c, self.n_cell, K,
-                             Wa.dtype)
+        return self._blocked(contrib, self.cols_c, self.col_ptr,
+                             self.n_cell, K, Wa.dtype)
 
     def binom_coeff_sum(self):
         return jnp.sum(log_binom_coeff(self.dp_r, self.ad_r))
@@ -357,12 +414,19 @@ def sparse_counts(AD, DP, dtype=jnp.float32, pad_multiple=8192):
     rr, cr, ar, dr = _packed(row_order)
     rc, cc, ac, dc = _packed(col_order)
 
+    # segment boundaries over the REAL (unpadded) prefix; padding
+    # entries carry zero values so they never affect the sums
+    row_ptr = np.searchsorted(rows[row_order], np.arange(n_var + 1))
+    col_ptr = np.searchsorted(cols[col_order], np.arange(n_cell + 1))
+
     return SparseCounts(
         rows_r=jnp.asarray(rr), cols_r=jnp.asarray(cr),
         ad_r=jnp.asarray(ar, dtype=dtype), dp_r=jnp.asarray(dr, dtype=dtype),
         rows_c=jnp.asarray(rc), cols_c=jnp.asarray(cc),
         ad_c=jnp.asarray(ac, dtype=dtype), dp_c=jnp.asarray(dc, dtype=dtype),
         shape=(int(n_var), int(n_cell)), nnz=int(nnz),
+        row_ptr=jnp.asarray(row_ptr, jnp.int32),
+        col_ptr=jnp.asarray(col_ptr, jnp.int32),
     )
 
 

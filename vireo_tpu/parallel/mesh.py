@@ -234,7 +234,8 @@ def build_cell_sharded_coo(AD, DP, n_shards, dtype=np.float32,
     nnz_pad = -(-max(max_nnz, 1) // pad_multiple) * pad_multiple
 
     def pack(order_key):
-        out = {k: [] for k in ("rows", "cols", "ad", "dp")}
+        out = {k: [] for k in ("rows", "cols", "ad", "dp", "ptr")}
+        n_seg = n_var if order_key == "row" else c_local
         for rows, cols, a, d in blocks:
             order = (np.lexsort((cols, rows)) if order_key == "row"
                      else np.lexsort((rows, cols)))
@@ -251,6 +252,10 @@ def build_cell_sharded_coo(AD, DP, n_shards, dtype=np.float32,
             out["cols"].append(c)
             out["ad"].append(av)
             out["dp"].append(dv)
+            # per-shard segment boundaries over the real prefix
+            sorted_ids = (rows if order_key == "row" else cols)[order]
+            out["ptr"].append(np.searchsorted(
+                sorted_ids, np.arange(n_seg + 1)).astype(np.int32))
         return {k: np.concatenate(v) for k, v in out.items()}
 
     by_row = pack("row")
@@ -260,6 +265,7 @@ def build_cell_sharded_coo(AD, DP, n_shards, dtype=np.float32,
         ad_r=by_row["ad"], dp_r=by_row["dp"],
         rows_c=by_col["rows"], cols_c=by_col["cols"],
         ad_c=by_col["ad"], dp_c=by_col["dp"],
+        row_ptr=by_row["ptr"], col_ptr=by_col["ptr"],
     )
     meta = dict(n_var=n_var, n_cell=n_cell, n_cell_pad=n_cell_pad,
                 c_local=c_local, n_shards=n_shards, nnz_pad=nnz_pad)
@@ -299,7 +305,8 @@ def sharded_fit_vb(mesh, arrays, meta, state, priors, cfg, **fit_kwargs):
             ad_r=arrs["ad_r"], dp_r=arrs["dp_r"],
             rows_c=arrs["rows_c"], cols_c=arrs["cols_c"],
             ad_c=arrs["ad_c"], dp_c=arrs["dp_c"],
-            shape=(n_var, c_local), nnz=meta["nnz_pad"])
+            shape=(n_var, c_local), nnz=meta["nnz_pad"],
+            row_ptr=arrs["row_ptr"], col_ptr=arrs["col_ptr"])
         sc = ShardedCounts(local=local, axis=axis)
         return fit_vb(sc, st, pr, cfg, axis_name=axis, **fit_kwargs)
 
