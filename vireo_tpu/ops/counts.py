@@ -25,6 +25,7 @@ scipy types.
 
 import dataclasses
 import math as _pymath
+import os
 
 import numpy as np
 import jax
@@ -281,6 +282,29 @@ class SparseCounts:
         """Largest count value (host float) — the densify dtype guard."""
         return float(jnp.maximum(jnp.max(self.ad_r), jnp.max(self.dp_r)))
 
+    def pack(self):
+        """Scatter the COO triplets directly into the 4-bit
+        nibble-packed dense layout (ops/packed.py) without ever
+        materializing a 1-byte-per-count matrix. Requires every count
+        <= 15 (the ladder checks `max_count()` first). int8 adds wrap
+        mod 256, which is bit-exact for disjoint nibbles."""
+        from .packed import PackedCounts, _pick_blocks
+        V, C = self.shape
+        Vp, Cp2, bv, bc = _pick_blocks(V, C, 1024, 2048)
+
+        @jax.jit
+        def scatter(vals, rows, cols):
+            shift = (cols.astype(jnp.int32) & 1) * 4
+            b = vals.astype(jnp.int32) << shift
+            b = jnp.where(b > 127, b - 256, b).astype(jnp.int8)
+            return jnp.zeros((Vp, Cp2), jnp.int8).at[
+                rows, cols // 2].add(b)
+
+        return PackedCounts(
+            ad_p=scatter(self.ad_r, self.rows_r, self.cols_r),
+            dp_p=scatter(self.dp_r, self.rows_r, self.cols_r),
+            shape=(int(V), int(C)), block_v=bv, block_c=bc)
+
     def densify(self, dtype=None, check_overflow=True, sharding=None):
         """Scatter the COO triplets into dense (n_var, n_cell) arrays on
         device without ever materializing a dense matrix on host.
@@ -456,7 +480,6 @@ def device_dense_budget():
     temporaries; overridable via VIREO_DENSE_BUDGET_GB. Host platforms
     without a limit get a 16 GiB default.
     """
-    import os
     env = os.environ.get("VIREO_DENSE_BUDGET_GB")
     if env:
         return float(env) * 2**30
@@ -513,6 +536,21 @@ def counts_from_scipy(AD, DP, dtype=jnp.float32, max_dense_elems=64_000_000,
                             sharding=sharding)
         del coo  # free the COO triplets before the fit allocates
         return dense
+    # capacity rung: 4-bit nibble packing halves the dense footprint
+    # whenever every count fits a nibble (<= 15). ~7% slower per pass
+    # than int8 (MXU-lane-floor-bound either way) but keeps matrices
+    # dense where the COO fallback would be ~50x slower. Single-device
+    # layout only (the mesh path shards the int8 layout instead).
+    from .packed import PACK_MAX
+    if vmax <= PACK_MAX and n_elems <= budget and sharding is None \
+            and os.environ.get("VIREO_NO_PACKED", "0") != "1":
+        if verbose:
+            print("[vireo] %dx%d counts (max %.0f) packed 2-per-byte on "
+                  "device (%.1f GiB)" % (AD.shape[0], AD.shape[1], vmax,
+                                         n_elems / 2**30))
+        packed = coo.pack()
+        del coo
+        return packed
     if verbose:
         print("[vireo] %dx%d counts too large for dense HBM layout "
               "(%.1f GiB > budget %.1f GiB); using COO segment-sum"
