@@ -148,3 +148,54 @@ def test_em_on_auto_int8_matches_f64(small_data):
     np.testing.assert_array_equal(
         np.argmax(np.asarray(r8.state.id_prob), 1),
         np.argmax(np.asarray(r64.state.id_prob), 1))
+
+
+def test_coo_f32_reduction_precision():
+    """The compensated prefix-sum fast path must stay as accurate as
+    sorted segment_sum in f32 (advisor round-2: the naive block cumsum
+    reached ~4.6 abs error at 320k nnz from boundary cancellation)."""
+    import dataclasses
+    import scipy.sparse as sp
+
+    rng = np.random.RandomState(0)
+    V, C, nnz_t = 500, 2000, 80000
+    rows = rng.randint(0, V, nnz_t)
+    cols = rng.randint(0, C, nnz_t)
+    dp = 1 + rng.poisson(2.0, nnz_t)
+    ad = rng.binomial(dp, 0.3)
+    DP = sp.csr_matrix((dp.astype(np.float64), (rows, cols)), shape=(V, C))
+    AD = sp.csr_matrix((ad.astype(np.float64), (rows, cols)), shape=(V, C))
+
+    coo = sparse_counts(AD, DP, dtype=jnp.float32)
+    assert coo.row_ptr is not None  # fast path engaged
+    d64 = dense_counts(AD, DP, dtype=jnp.float64)
+    coo_exact = dataclasses.replace(coo, row_ptr=None, col_ptr=None)
+
+    K = 8
+    Wa = jnp.asarray(rng.randn(V, K))
+    Wd = jnp.asarray(rng.randn(V, K))
+    ref = np.asarray(d64.cell_loglik(Wa, Wd))
+    fast = np.asarray(coo.cell_loglik(Wa.astype(jnp.float32),
+                                      Wd.astype(jnp.float32)))
+    segs = np.asarray(coo_exact.cell_loglik(Wa.astype(jnp.float32),
+                                            Wd.astype(jnp.float32)))
+    assert np.abs(fast - ref).max() <= 2 * max(np.abs(segs - ref).max(),
+                                               1e-6)
+
+    W = jnp.asarray(rng.rand(C, K))
+    S1r, SSr = d64.suff_stats(W)
+    S1, SS = coo.suff_stats(W.astype(jnp.float32))
+    assert np.abs(np.asarray(S1) - np.asarray(S1r)).max() < 1e-3
+    assert np.abs(np.asarray(SS) - np.asarray(SSr)).max() < 1e-3
+
+
+def test_coo_exact_env_knob(monkeypatch, small_data):
+    """VIREO_COO_EXACT=1 builds without segment pointers."""
+    AD, DP, _ = small_data
+    monkeypatch.setenv("VIREO_COO_EXACT", "1")
+    s = sparse_counts(AD, DP, dtype=jnp.float64, pad_multiple=64)
+    assert s.row_ptr is None and s.col_ptr is None
+    d = dense_counts(AD, DP, dtype=jnp.float64)
+    W = jnp.asarray(np.random.RandomState(3).rand(d.n_cell, 4))
+    np.testing.assert_allclose(np.asarray(s.suff_stats(W)[0]),
+                               np.asarray(d.suff_stats(W)[0]), rtol=1e-10)

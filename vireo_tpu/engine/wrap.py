@@ -142,6 +142,21 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
         np.random.seed(random_seed)
     rng = np.random  # the reference draws from the global stream
 
+    # run fingerprint: refuse to resume from a checkpoint directory
+    # written with different data/arguments (advisor round-2 finding —
+    # shape-compatible stale state would silently corrupt results)
+    run_fp = {
+        "n_var": int(counts.n_var), "n_cell": int(counts.n_cell),
+        "nnz": int(getattr(counts, "nnz", -1)),
+        "n_donor": int(n_donor), "n_init": int(n_init),
+        "random_seed": -1 if random_seed is None else int(random_seed),
+        "learn_GT": int(bool(learn_GT)),
+        "n_extra_donor": int(n_extra_donor),
+        "has_GT_prior": int(GT_prior is not None),
+    }
+    if resume is not None:
+        ckpt.check_fingerprint(checkpoint_dir, run_fp)
+
     GT_prior_use = None
     n_donor_use = int(n_donor + n_extra_donor)
     if GT_prior is not None and n_donor_use == GT_prior.shape[1]:
@@ -193,7 +208,8 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
                 lambda x: jnp.asarray(np.asarray(x)[best]), warm.state)
         if checkpoint_dir:
             ckpt.save_state(checkpoint_dir, 0, best_state,
-                            extra={"elbo_all": elbo_all})
+                            extra={"elbo_all": elbo_all},
+                            fingerprint=run_fp)
             ckpt.save_rng(checkpoint_dir, "rng_0")
 
     if resume is not None and resume >= 1:
@@ -285,7 +301,8 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
                             extra={"elbo_all": elbo_all,
                                    "ELBO_": modelCA.ELBO_,
                                    "n_donor": modelCA.n_donor,
-                                   "learn_GT": modelCA.config.learn_GT})
+                                   "learn_GT": modelCA.config.learn_GT},
+                            fingerprint=run_fp)
             ckpt.save_rng(checkpoint_dir, "rng_1")
 
     if verbose:

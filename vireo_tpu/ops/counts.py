@@ -162,13 +162,12 @@ class SparseCounts:
         """sum_i reduce(contrib_fn(slice_i)) into (num_segments, out_cols).
 
         seg_ids is globally sorted, so every slice is sorted too. With
-        segment boundaries `ptr` available, each block reduces via an
-        inclusive cumsum + per-segment boundary differences (clamped
-        into the block) — no scatter at all; otherwise a sorted
-        segment_sum. Prefix-sum differencing trades ~eps*(block/segment)
-        relative noise (~1e-4 in f32 at 1k-entry segments) for the
-        1.8x speedup, well inside the bf16-matmul tolerance the dense
-        path already accepts.
+        segment boundaries `ptr` available, each block reduces via
+        two-level compensated prefix sums + per-segment boundary
+        differences (clamped into the block) — no scatter at all, and
+        cancellation bounded at ~eps * 128 * max|contrib| (see
+        `_interval_sums`); otherwise a sorted segment_sum. Measured
+        1.8x faster than segment_sum on TPU v5e at 30M nnz.
         """
         n = seg_ids.shape[0]
         block = min(self.NNZ_BLOCK, n)
@@ -182,13 +181,9 @@ class SparseCounts:
                     num_segments=num_segments, indices_are_sorted=True)
         else:
             def reduce_block(lo, m, acc):
-                cs = jnp.cumsum(contrib_fn(lo, m), axis=0)
-                cs0 = jnp.concatenate(
-                    [jnp.zeros((1, out_cols), cs.dtype), cs])
                 b_lo = jnp.clip(ptr[:-1] - lo, 0, m)
                 b_hi = jnp.clip(ptr[1:] - lo, 0, m)
-                return acc + jnp.take(cs0, b_hi, axis=0) \
-                    - jnp.take(cs0, b_lo, axis=0)
+                return acc + _interval_sums(contrib_fn(lo, m), b_lo, b_hi)
 
         acc = jnp.zeros((num_segments, out_cols), dtype)
         if n_full:
@@ -224,21 +219,15 @@ class SparseCounts:
                                         indices_are_sorted=True)
                 return acc[0] + s[:, :K], acc[1] + s[:, K:]
         else:
-            # two K-wide cumsums sharing one gather: a single 2K-wide
-            # reduction forces an 8x-padded transposed layout on TPU
-            def interval(x, lo, m):
-                cs = jnp.cumsum(x, axis=0)
-                cs0 = jnp.concatenate(
-                    [jnp.zeros((1, K), cs.dtype), cs])
+            # two K-wide reductions sharing one gather: a single
+            # 2K-wide reduction forces an 8x-padded transposed layout
+            # on TPU
+            def reduce_block(lo, m, acc):
                 b_lo = jnp.clip(ptr[:-1] - lo, 0, m)
                 b_hi = jnp.clip(ptr[1:] - lo, 0, m)
-                return jnp.take(cs0, b_hi, axis=0) \
-                    - jnp.take(cs0, b_lo, axis=0)
-
-            def reduce_block(lo, m, acc):
                 xa, xd = gathered(lo, m)
-                return (acc[0] + interval(xa, lo, m),
-                        acc[1] + interval(xd, lo, m))
+                return (acc[0] + _interval_sums(xa, b_lo, b_hi),
+                        acc[1] + _interval_sums(xd, b_lo, b_hi))
 
         acc = (jnp.zeros((self.n_var, K), W.dtype),
                jnp.zeros((self.n_var, K), W.dtype))
@@ -350,6 +339,82 @@ class SparseCounts:
 Counts = (DenseCounts, SparseCounts)
 
 
+# --------------------------------------------------------------------
+# compensated prefix-sum interval reduction (the COO ptr fast path)
+# --------------------------------------------------------------------
+
+def _two_sum(a, b):
+    """Knuth TwoSum: s = fl(a+b) and the exact rounding error e."""
+    s = a + b
+    z = s - a
+    e = (a - (s - z)) + (b - z)
+    return s, e
+
+
+def _two_diff(a, b):
+    """fl(a-b) and its exact error (TwoSum with negated b)."""
+    s = a - b
+    z = s - a
+    e = (a - (s - z)) - (b + z)
+    return s, e
+
+
+def _comp_inclusive_scan(t):
+    """Inclusive prefix sum of t along axis 0 as a double-f32
+    (hi, lo) pair via an associative TwoSum scan — ~2^-48 effective
+    precision at f32 storage/throughput."""
+    def combine(x, y):
+        s, e = _two_sum(x[0], y[0])
+        lo = e + x[1] + y[1]
+        hi = s + lo
+        return hi, lo - (hi - s)
+    return jax.lax.associative_scan(
+        combine, (t, jnp.zeros_like(t)), axis=0)
+
+
+_INNER_ROW = 128  # inner cumsum span; bounds f32 cancellation to
+                  # ~eps * 128 * max|contrib| per boundary difference
+
+
+def _interval_sums(x, b_lo, b_hi):
+    """Per-segment sums of a sorted (m, K) contribution block given
+    clamped segment boundaries b_lo/b_hi in [0, m].
+
+    Replaces the naive full-block cumsum whose boundary differences
+    cancel against a prefix of magnitude ~block_total (measured ~4.6
+    abs error on f32 cell logliks at 320k nnz — advisor round-2
+    finding). Two levels instead: a plain f32 cumsum inside rows of
+    _INNER_ROW entries, a double-f32 compensated scan over the row
+    totals, and exact TwoDiff differencing of the outer prefixes.
+    """
+    m, K = x.shape
+    L = _INNER_ROW
+    Q = -(-m // L)
+    xr = jnp.pad(x, ((0, Q * L - m), (0, 0))).reshape(Q, L, K)
+    inner_inc = jnp.cumsum(xr, axis=1)
+    # exclusive inner prefix, with a zero row Q so a boundary at m
+    # (m % L == 0) indexes inner 0 / outer total
+    inner_ex = jnp.concatenate(
+        [jnp.zeros((Q, 1, K), x.dtype), inner_inc[:, :-1]], axis=1)
+    inner_flat = jnp.concatenate(
+        [inner_ex.reshape(Q * L, K), jnp.zeros((L, K), x.dtype)])
+    hi_inc, lo_inc = _comp_inclusive_scan(inner_inc[:, -1])
+    z = jnp.zeros((1, K), x.dtype)
+    outer_hi = jnp.concatenate([z, hi_inc])
+    outer_lo = jnp.concatenate([z, lo_inc])
+
+    def at(b):
+        q = b // L
+        return (jnp.take(outer_hi, q, axis=0),
+                jnp.take(outer_lo, q, axis=0),
+                jnp.take(inner_flat, b, axis=0))
+
+    h1, l1, i1 = at(b_hi)
+    h0, l0, i0 = at(b_lo)
+    d, e = _two_diff(h1, h0)
+    return d + (e + (l1 - l0) + (i1 - i0))
+
+
 @jax.jit
 def _dense_binom_coeff_sum(dp, ad, row_chunk=256):
     """sum(log C(dp, ad)) over a large dense matrix without matrix-
@@ -401,6 +466,11 @@ def sparse_counts(AD, DP, dtype=jnp.float32, pad_multiple=8192):
 
     nnz is padded up to a multiple of `pad_multiple` so jit caches are
     reused across datasets of similar size.
+
+    VIREO_COO_EXACT=1 drops the segment-boundary pointers so every
+    contraction reduces via sorted `segment_sum` instead of the
+    compensated prefix-sum fast path (an escape hatch for auditing the
+    reduction numerics; ~1.8x slower on TPU).
     """
     import scipy.sparse as sp
     A = sp.coo_matrix(AD) if not sp.issparse(AD) else AD.tocoo()
@@ -443,14 +513,15 @@ def sparse_counts(AD, DP, dtype=jnp.float32, pad_multiple=8192):
     row_ptr = np.searchsorted(rows[row_order], np.arange(n_var + 1))
     col_ptr = np.searchsorted(cols[col_order], np.arange(n_cell + 1))
 
+    exact = os.environ.get("VIREO_COO_EXACT", "0") == "1"
     return SparseCounts(
         rows_r=jnp.asarray(rr), cols_r=jnp.asarray(cr),
         ad_r=jnp.asarray(ar, dtype=dtype), dp_r=jnp.asarray(dr, dtype=dtype),
         rows_c=jnp.asarray(rc), cols_c=jnp.asarray(cc),
         ad_c=jnp.asarray(ac, dtype=dtype), dp_c=jnp.asarray(dc, dtype=dtype),
         shape=(int(n_var), int(n_cell)), nnz=int(nnz),
-        row_ptr=jnp.asarray(row_ptr, jnp.int32),
-        col_ptr=jnp.asarray(col_ptr, jnp.int32),
+        row_ptr=None if exact else jnp.asarray(row_ptr, jnp.int32),
+        col_ptr=None if exact else jnp.asarray(col_ptr, jnp.int32),
     )
 
 

@@ -68,10 +68,14 @@ def _suff_kernel(ad_ref, dp_ref, we_ref, wo_ref, s_ref, *, K):
     we, wo = we_ref[:], wo_ref[:]
 
     def contract(p_ref):
+        # counts enter the MXU as f32 (nibbles are exact in any float);
+        # weights stay f32 like the int8 dense rung (counts.py:68-92) —
+        # the MXU's default-precision truncation applies uniformly
+        # instead of a pre-rounded bf16 weight copy.
         lo, hi = _unpack_i32(p_ref[:])
-        acc = jnp.dot(lo.astype(jnp.bfloat16), we,
+        acc = jnp.dot(lo.astype(jnp.float32), we,
                       preferred_element_type=jnp.float32)
-        acc += jnp.dot(hi.astype(jnp.bfloat16), wo,
+        acc += jnp.dot(hi.astype(jnp.float32), wo,
                        preferred_element_type=jnp.float32)
         return acc
 
@@ -98,13 +102,13 @@ def _loglik_kernel(ad_ref, dp_ref, wa_ref, wd_ref, oe_ref, oo_ref):
     ad_lo, ad_hi = _unpack_i32(ad_ref[:])
     dp_lo, dp_hi = _unpack_i32(dp_ref[:])
 
-    oe = jax.lax.dot_general(ad_lo.astype(jnp.bfloat16), wa, dn,
+    oe = jax.lax.dot_general(ad_lo.astype(jnp.float32), wa, dn,
                              preferred_element_type=jnp.float32)
-    oe += jax.lax.dot_general(dp_lo.astype(jnp.bfloat16), wd, dn,
+    oe += jax.lax.dot_general(dp_lo.astype(jnp.float32), wd, dn,
                               preferred_element_type=jnp.float32)
-    oo = jax.lax.dot_general(ad_hi.astype(jnp.bfloat16), wa, dn,
+    oo = jax.lax.dot_general(ad_hi.astype(jnp.float32), wa, dn,
                              preferred_element_type=jnp.float32)
-    oo += jax.lax.dot_general(dp_hi.astype(jnp.bfloat16), wd, dn,
+    oo += jax.lax.dot_general(dp_hi.astype(jnp.float32), wd, dn,
                               preferred_element_type=jnp.float32)
 
     @pl.when(i == 0)
@@ -137,9 +141,13 @@ class PackedCounts:
         return self.shape[1]
 
     def _w_parity(self, W):
-        """Pad W (n_cell, K) to 2*Cp2 rows and split by cell parity."""
+        """Pad W (n_cell, K) to 2*Cp2 rows and split by cell parity.
+
+        Weights are kept f32 (not pre-rounded to bf16): interpret mode
+        is then exactly the dense-f32 contraction, and on TPU the MXU's
+        own default precision governs, same as the int8 dense rung."""
         Cp2 = self.ad_p.shape[1]
-        W = jnp.pad(W.astype(jnp.bfloat16),
+        W = jnp.pad(W.astype(jnp.float32),
                     ((0, 2 * Cp2 - self.n_cell), (0, 0)))
         return W[0::2], W[1::2]
 
@@ -180,8 +188,8 @@ class PackedCounts:
         K = Wa.shape[1]
         Vp, Cp2 = self.ad_p.shape
         pad_v = ((0, Vp - self.n_var), (0, 0))
-        wa = jnp.pad(Wa.astype(jnp.bfloat16), pad_v)
-        wd = jnp.pad(Wd.astype(jnp.bfloat16), pad_v)
+        wa = jnp.pad(Wa.astype(jnp.float32), pad_v)
+        wd = jnp.pad(Wd.astype(jnp.float32), pad_v)
         grid = (Cp2 // self.block_c, Vp // self.block_v)
         oe, oo = pl.pallas_call(
             _loglik_kernel,
@@ -244,7 +252,14 @@ class PackedCounts:
             d_lo, d_hi = _unpack_i32(d)
             return (acc + jnp.sum(log_binom_coeff(d_lo, a_lo))
                     + jnp.sum(log_binom_coeff(d_hi, a_hi)))
-        return self._row_chunks(fn, jnp.zeros((), jnp.float32))
+        # accumulate in log_binom_coeff's result dtype (f64 under x64),
+        # matching the dense path — a fixed-f32 carry TypeErrors in the
+        # fori_loop when x64 promotes the chunk sums.
+        acc_dtype = jax.eval_shape(
+            log_binom_coeff,
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+            jax.ShapeDtypeStruct((1,), jnp.int32)).dtype
+        return self._row_chunks(fn, jnp.zeros((), acc_dtype))
 
     def row_sums(self):
         return _row_sums(self)
@@ -294,9 +309,11 @@ class PackedCounts:
         Cp2 = self.ad_p.shape[1]
 
         def fn(a, d, acc):
+            # dtype= pins the bool-sum to the carry dtype (x64 would
+            # otherwise promote it to int64 and break the fori_loop)
             d_lo, d_hi = _unpack_i32(d)
-            return (acc[0] + jnp.sum(d_lo > 0, axis=0),
-                    acc[1] + jnp.sum(d_hi > 0, axis=0))
+            return (acc[0] + jnp.sum(d_lo > 0, axis=0, dtype=jnp.int32),
+                    acc[1] + jnp.sum(d_hi > 0, axis=0, dtype=jnp.int32))
 
         even, odd = self._row_chunks(
             fn, (jnp.zeros((Cp2,), jnp.int32), jnp.zeros((Cp2,), jnp.int32)))

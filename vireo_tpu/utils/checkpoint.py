@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from ..models.vireo import VireoState, VireoPriors
 
 __all__ = ["save_state", "load_state", "latest_step", "save_rng",
-           "load_rng"]
+           "load_rng", "check_fingerprint"]
 
 
 def _path(ckpt_dir, step):
@@ -24,8 +24,15 @@ def _path(ckpt_dir, step):
 
 
 def save_state(ckpt_dir, step, state, priors=None, elbo_trace=None,
-               extra=None):
-    """Write a checkpoint atomically (tmp + rename)."""
+               extra=None, fingerprint=None):
+    """Write a checkpoint atomically (tmp + rename).
+
+    `fingerprint` is a flat dict of run-identifying scalars (shapes,
+    n_donor, n_init, seed, ...); `check_fingerprint` refuses to resume
+    from a checkpoint whose fingerprint disagrees with the current run,
+    so a stale directory from a different dataset cannot silently feed
+    wrong state into a shape-compatible rerun.
+    """
     os.makedirs(ckpt_dir, exist_ok=True)
     payload = {
         "beta_mu": np.asarray(state.beta_mu),
@@ -44,6 +51,8 @@ def save_state(ckpt_dir, step, state, priors=None, elbo_trace=None,
         payload["elbo_trace"] = np.asarray(elbo_trace)
     for k, v in (extra or {}).items():
         payload["extra_" + k] = np.asarray(v)
+    for k, v in (fingerprint or {}).items():
+        payload["fp_" + k] = np.asarray(v)
 
     path = _path(ckpt_dir, step)
     tmp = path + ".tmp.npz"
@@ -83,6 +92,34 @@ def load_state(ckpt_dir, step=None, dtype=jnp.float32):
         if "elbo_trace" in z:
             extras["elbo_trace"] = z["elbo_trace"]
     return state, priors, extras
+
+
+def check_fingerprint(ckpt_dir, fingerprint, step=None):
+    """Compare a run fingerprint against the one stored at `step`
+    (default: latest). Raises ValueError on any mismatch; warns when
+    the checkpoint predates fingerprinting (nothing to compare)."""
+    import warnings
+    if step is None:
+        step = latest_step(ckpt_dir)
+    if step is None:
+        return
+    with np.load(_path(ckpt_dir, step)) as z:
+        stored = {k[3:]: z[k] for k in z.files if k.startswith("fp_")}
+    if not stored:
+        warnings.warn("[vireo] checkpoint %s has no run fingerprint; "
+                      "cannot verify it matches this run's inputs"
+                      % ckpt_dir)
+        return
+    bad = [k for k, v in fingerprint.items()
+           if k in stored and not np.array_equal(np.asarray(v), stored[k])]
+    if bad:
+        detail = ", ".join("%s: run=%r ckpt=%r"
+                           % (k, fingerprint[k],
+                              stored[k].tolist()) for k in bad)
+        raise ValueError(
+            "[vireo] checkpoint directory %s was written by a DIFFERENT "
+            "run (%s). Refusing to resume — clear the directory or point "
+            "--checkpointDir elsewhere." % (ckpt_dir, detail))
 
 
 def save_rng(ckpt_dir, name="rng_state"):
