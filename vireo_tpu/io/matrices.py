@@ -113,74 +113,83 @@ def read_vartrix(alt_mtx, ref_mtx, cell_file, vcf_file=None):
     return cell_dat
 
 
+def _write_tsv(path, columns, row_iter):
+    """Emit a TSV with a header row and per-row string cells."""
+    with open(path, "w") as fh:
+        fh.write("\t".join(columns) + "\n")
+        for cells in row_iter:
+            fh.write("\t".join(cells) + "\n")
+
+
+def _matrix_rows(names, mat, fmt, tail=None):
+    """Rows of (name, formatted matrix entries[, tail(i)])."""
+    for i, name in enumerate(names):
+        cells = [name] + [fmt % v for v in mat[i, :]]
+        if tail is not None:
+            cells += tail(i)
+        yield cells
+
+
 def write_donor_id(out_dir, donor_names, cell_names, n_vars, res_vireo):
     """Write donor_ids.tsv, summary.tsv, probability tables and the log
-    (io_utils.py:91-170), with the reference's hard-call rules."""
-    ID_prob, doublet_prob = res_vireo['ID_prob'], res_vireo['doublet_prob']
+    (io_utils.py:91-170). Output is byte-identical to the reference —
+    the hard-call thresholds (singlet < 0.9 -> unassigned,
+    doublet >= 0.9 -> doublet, < 10 covered variants -> unassigned) and
+    every format string are part of the compatibility contract."""
+    singlet_p = res_vireo['ID_prob']
+    pair_p = res_vireo['doublet_prob']
 
-    prob_max = np.max(ID_prob, axis=1)
-    prob_doublet_out = np.max(doublet_prob, axis=1)
-    donor_singlet = np.array(donor_names, "U100")[np.argmax(ID_prob, axis=1)]
+    top_singlet = np.max(singlet_p, axis=1)
+    top_pair = np.max(pair_p, axis=1)
+    best_singlet = np.array(donor_names, "U100")[np.argmax(singlet_p, 1)]
+    pair_names = [",".join(x) for x in combinations(donor_names, 2)]
+    best_pair = np.array(pair_names, "U100")[np.argmax(pair_p, 1)]
 
-    doublet_names = [",".join(x) for x in combinations(donor_names, 2)]
-    donor_doublet = np.array(doublet_names, "U100")[
-        np.argmax(doublet_prob, axis=1)]
+    hard_call = best_singlet.copy()
+    hard_call[top_singlet < 0.9] = "unassigned"
+    hard_call[top_pair >= 0.9] = "doublet"
+    hard_call[np.asarray(n_vars) < 10] = "unassigned"
 
-    donor_ids = donor_singlet.copy()
-    donor_ids[prob_max < 0.9] = "unassigned"
-    donor_ids[prob_doublet_out >= 0.9] = "doublet"
-    donor_ids[np.asarray(n_vars) < 10] = "unassigned"
+    with open(out_dir + "/_log.txt", "w") as fh:
+        fh.write("logLik: %.3e\n" % (res_vireo['LB_doublet']))
+        fh.write("thetas: \n%s\n" % (res_vireo['theta_shapes']))
 
-    with open(out_dir + "/_log.txt", "w") as fid:
-        fid.write("logLik: %.3e\n" % (res_vireo['LB_doublet']))
-        fid.write("thetas: \n%s\n" % (res_vireo['theta_shapes']))
-
-    donor_ids_uniq, donor_ids_count = np.unique(donor_ids,
-                                                return_counts=True)
-    with open(out_dir + "/summary.tsv", "w") as fid:
-        fid.write("Var1\tFreq\n")
-        for i in range(len(donor_ids_uniq)):
-            fid.write("%s\t%d\n" % (donor_ids_uniq[i], donor_ids_count[i]))
+    call_levels, call_freq = np.unique(hard_call, return_counts=True)
+    _write_tsv(out_dir + "/summary.tsv", ["Var1", "Freq"],
+               (["%s" % lv, "%d" % n]
+                for lv, n in zip(call_levels, call_freq)))
     print("[vireo] final donor size:")
-    print("\t".join([str(x) for x in donor_ids_uniq]))
-    print("\t".join([str(x) for x in donor_ids_count]))
+    print("\t".join([str(x) for x in call_levels]))
+    print("\t".join([str(x) for x in call_freq]))
 
-    with open(out_dir + "/donor_ids.tsv", "w") as fid:
-        header = ["cell", "donor_id", "prob_max", "prob_doublet", "n_vars",
-                  "best_singlet", "best_doublet", "doublet_logLikRatio"]
-        fid.write("\t".join(header) + "\n")
-        for i in range(len(cell_names)):
-            line = [cell_names[i], donor_ids[i], "%.2e" % prob_max[i],
-                    "%.2e" % prob_doublet_out[i], "%d" % n_vars[i],
-                    donor_singlet[i], donor_doublet[i],
-                    "%.3f" % res_vireo['doublet_LLR'][i]]
-            fid.write("\t".join(line) + "\n")
+    llr = res_vireo['doublet_LLR']
+    _write_tsv(
+        out_dir + "/donor_ids.tsv",
+        ["cell", "donor_id", "prob_max", "prob_doublet", "n_vars",
+         "best_singlet", "best_doublet", "doublet_logLikRatio"],
+        ([cell_names[i], hard_call[i], "%.2e" % top_singlet[i],
+          "%.2e" % top_pair[i], "%d" % n_vars[i], best_singlet[i],
+          best_pair[i], "%.3f" % llr[i]]
+         for i in range(len(cell_names))))
 
-    with open(out_dir + "/prob_singlet.tsv", "w") as fid:
-        fid.write("\t".join(["cell"] + list(donor_names)) + "\n")
-        for i in range(len(cell_names)):
-            line = ["%.2e" % x for x in ID_prob[i, :]]
-            fid.write("\t".join([cell_names[i]] + line) + "\n")
-
-    with open(out_dir + "/prob_doublet.tsv", "w") as fid:
-        fid.write("\t".join(["cell"] + doublet_names) + "\n")
-        for i in range(len(cell_names)):
-            line = ["%.2e" % x for x in doublet_prob[i, :]]
-            fid.write("\t".join([cell_names[i]] + line) + "\n")
+    _write_tsv(out_dir + "/prob_singlet.tsv",
+               ["cell"] + list(donor_names),
+               _matrix_rows(cell_names, singlet_p, "%.2e"))
+    _write_tsv(out_dir + "/prob_doublet.tsv",
+               ["cell"] + pair_names,
+               _matrix_rows(cell_names, pair_p, "%.2e"))
 
     if res_vireo.get('ambient_Psi') is not None:
-        with open(out_dir + "/prop_ambient.tsv", "w") as fid:
-            fid.write("\t".join(["cell"] + list(donor_names)
-                                + ['logLik_ratio']) + "\n")
-            for i in range(len(cell_names)):
-                line = ["%.4e" % x for x in res_vireo['ambient_Psi'][i, :]]
-                line += ['%.2f' % res_vireo['Psi_LLRatio'][i]]
-                fid.write("\t".join([cell_names[i]] + line) + "\n")
+        ratio = res_vireo['Psi_LLRatio']
+        _write_tsv(out_dir + "/prop_ambient.tsv",
+                   ["cell"] + list(donor_names) + ['logLik_ratio'],
+                   _matrix_rows(cell_names, res_vireo['ambient_Psi'],
+                                "%.4e", tail=lambda i: ['%.2f' % ratio[i]]))
 
-    pro = subprocess.Popen(
+    gz = subprocess.Popen(
         ["gzip", "-f", out_dir + "/prob_singlet.tsv",
          out_dir + "/prob_doublet.tsv"], stdout=subprocess.PIPE)
-    pro.communicate()
+    gz.communicate()
 
 
 def make_whitelists(donor_id_file, out_prefix):

@@ -90,7 +90,13 @@ def _fused_doublet_mode(counts, vobj):
     import os
     from ..ops.counts import DenseCounts
     knob = os.environ.get("VIREO_FUSED_DOUBLET", "0").lower()
-    if knob in ("0", "off", "no", "auto", ""):
+    if knob in ("0", "off", "no", ""):
+        return None
+    if knob not in ("1", "on", "yes", "kernel", "interpret"):
+        import warnings
+        warnings.warn("VIREO_FUSED_DOUBLET=%r is not a valid value "
+                      "(use 0/1/interpret); keeping the default XLA "
+                      "path" % knob)
         return None
     if not isinstance(counts, DenseCounts):
         return None
