@@ -234,3 +234,107 @@ def test_resolve_mesh_gates(monkeypatch):
     assert _resolve_mesh(None, 2000) is None           # explicit off
     monkeypatch.setenv("VIREO_MESH", "off")
     assert _resolve_mesh("auto", 2000) is None         # env kill switch
+
+
+def test_mesh_packed_parity(small_data):
+    """The nibble-packed capacity rung on an 8-device mesh: densify
+    roundtrip + full EM parity vs the single-device packed layout
+    (VERDICT round-2 item 4 done-criterion)."""
+    import scipy.sparse as sp
+    from vireo_tpu.ops.packed import (pack_dense, pack_scipy_sharded,
+                                      MeshPackedCounts)
+
+    AD, DP, _ = small_data
+    DPd = np.minimum(np.asarray(DP.todense()), 15.0)
+    ADd = np.minimum(np.asarray(AD.todense()), DPd)
+    mesh = make_mesh(N_DEV)
+    mp = pack_scipy_sharded(sp.csr_matrix(ADd), sp.csr_matrix(DPd), mesh)
+    assert isinstance(mp, MeshPackedCounts)
+
+    d = mp.densify()
+    np.testing.assert_array_equal(np.asarray(d.ad), ADd)
+    np.testing.assert_array_equal(np.asarray(d.dp), DPd)
+
+    single = pack_dense(ADd, DPd)
+    np.testing.assert_allclose(float(mp.binom_coeff_sum()),
+                               float(single.binom_coeff_sum()), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(mp.n_vars_per_cell()),
+                                  np.asarray(single.n_vars_per_cell()))
+    a_m, d_m = mp.row_sums()
+    a_s, d_s = single.row_sums()
+    np.testing.assert_allclose(np.asarray(a_m), np.asarray(a_s))
+    np.testing.assert_allclose(np.asarray(d_m), np.asarray(d_s))
+
+    cfg = VireoConfig(n_var=ADd.shape[0], n_cell=ADd.shape[1], n_donor=3)
+    rng = np.random.RandomState(4)
+    state = init_state(cfg, rng=rng, dtype=jnp.float32)
+    priors = default_priors(cfg, dtype=jnp.float32)
+    res_m = fit_vb(mp, state, priors, cfg, max_iter=15, min_iter=3)
+    res_s = fit_vb(single, state, priors, cfg, max_iter=15, min_iter=3)
+    np.testing.assert_allclose(float(res_m.elbo_final),
+                               float(res_s.elbo_final), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(res_m.state.id_prob),
+                               np.asarray(res_s.state.id_prob),
+                               rtol=1e-3, atol=1e-4)
+
+    sub = mp.var_subset(np.array([2, 0, 7]))
+    dsub = sub.densify()
+    np.testing.assert_array_equal(np.asarray(dsub.ad), ADd[[2, 0, 7]])
+
+
+def test_counts_from_scipy_packed_on_mesh(small_data):
+    """The ladder's packed rung engages under a mesh sharding."""
+    import scipy.sparse as sp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from vireo_tpu.ops.counts import counts_from_scipy
+    from vireo_tpu.ops.packed import MeshPackedCounts
+    from vireo_tpu.parallel.mesh import CELL_AXIS
+
+    AD, DP, _ = small_data
+    DPd = np.minimum(np.asarray(DP.todense()), 15.0)
+    ADd = np.minimum(np.asarray(AD.todense()), DPd)
+    ADs, DPs = sp.csr_matrix(ADd), sp.csr_matrix(DPd)
+    mesh = make_mesh(N_DEV)
+    sh = NamedSharding(mesh, P(None, CELL_AXIS))
+    n = ADd.size
+    c = counts_from_scipy(ADs, DPs, max_dense_elems=0,
+                          dense_budget=1.5 * n, sharding=sh)
+    assert isinstance(c, MeshPackedCounts)
+    got = c.densify()
+    np.testing.assert_array_equal(np.asarray(got.ad), ADd)
+
+
+def test_vireo_wrap_on_mesh_packed():
+    """Full orchestrator (warm restarts -> refit -> doublet) on a
+    MeshPackedCounts: restarts vmap over the shard_mapped kernels; the
+    result matches the single-device packed run up to donor label
+    switching and both recover the simulated truth."""
+    import scipy.sparse as sp
+    from vireo_tpu.sim.synth import synth_pool_counts
+    from vireo_tpu.ops.packed import pack_scipy_sharded, pack_dense
+    from vireo_tpu.ops.matching import optimal_match
+    from vireo_tpu.engine.wrap import vireo_wrap
+
+    pool = synth_pool_counts(n_var=300, n_cell=500, n_donor=3,
+                             density=0.2, seed=1)
+    DPd = np.minimum(np.asarray(pool["DP"].todense()), 15.0)
+    ADd = np.minimum(np.asarray(pool["AD"].todense()), DPd)
+    mesh = make_mesh(N_DEV)
+    mp = pack_scipy_sharded(sp.csr_matrix(ADd), sp.csr_matrix(DPd), mesh)
+
+    kw = dict(n_donor=3, learn_GT=True, n_init=3, random_seed=7,
+              check_doublet=True, dtype=jnp.float32, verbose=False,
+              mesh=None)
+    res_m = vireo_wrap(mp, **kw)
+    res_s = vireo_wrap(pack_dense(ADd, DPd), **kw)
+
+    np.testing.assert_allclose(res_m["LB_doublet"], res_s["LB_doublet"],
+                               rtol=1e-5)
+    _, perm = optimal_match(res_s["GT_prob"], res_m["GT_prob"], axis=1)
+    np.testing.assert_array_equal(
+        np.argmax(res_m["ID_prob"][:, perm], 1),
+        np.argmax(res_s["ID_prob"], 1))
+    truth = pool["donor"]
+    _, t_perm = optimal_match(np.eye(3)[truth], res_m["ID_prob"], axis=1)
+    acc = (np.argmax(res_m["ID_prob"][:, t_perm], 1) == truth).mean()
+    assert acc > 0.98

@@ -47,7 +47,7 @@ def _resolve_mesh(mesh, n_cell):
 
 
 def _as_counts(AD, DP, dtype, mesh=None, verbose=False):
-    if isinstance(AD, (DenseCounts, SparseCounts)):
+    if hasattr(AD, "suff_stats"):     # already a device counts object
         counts = AD
         if mesh is not None and isinstance(counts, DenseCounts):
             sh = _cell_sharding(mesh)
@@ -116,7 +116,7 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
         print("[vireo] resuming from checkpoint step %d in %s"
               % (resume, checkpoint_dir))
 
-    n_cell_in = AD.n_cell if isinstance(AD, (DenseCounts, SparseCounts)) \
+    n_cell_in = AD.n_cell if hasattr(AD, "suff_stats") \
         else int(AD.shape[1])
     mesh = _resolve_mesh(mesh, n_cell_in)
     if mesh is not None and verbose:

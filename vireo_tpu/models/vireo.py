@@ -473,8 +473,8 @@ class Vireo:
             beta_sum_prior, min_GP, dtype=self.dtype)
 
     def _as_counts(self, AD, DP):
-        from ..ops.counts import counts_from_scipy, DenseCounts, SparseCounts
-        if isinstance(AD, (DenseCounts, SparseCounts)):
+        from ..ops.counts import counts_from_scipy
+        if hasattr(AD, "suff_stats"):  # already a device counts object
             return AD
         return counts_from_scipy(AD, DP, dtype=self.dtype)
 

@@ -610,15 +610,21 @@ def counts_from_scipy(AD, DP, dtype=jnp.float32, max_dense_elems=64_000_000,
     # capacity rung: 4-bit nibble packing halves the dense footprint
     # whenever every count fits a nibble (<= 15). ~7% slower per pass
     # than int8 (MXU-lane-floor-bound either way) but keeps matrices
-    # dense where the COO fallback would be ~50x slower. Single-device
-    # layout only (the mesh path shards the int8 layout instead).
+    # dense where the COO fallback would be ~50x slower. On a mesh the
+    # packed bytes are sharded along the cell axis (MeshPackedCounts)
+    # so multi-chip pools get the 2x capacity too.
     from .packed import PACK_MAX
-    if vmax <= PACK_MAX and n_elems <= budget and sharding is None \
+    if vmax <= PACK_MAX and n_elems <= budget \
             and os.environ.get("VIREO_NO_PACKED", "0") != "1":
         if verbose:
             print("[vireo] %dx%d counts (max %.0f) packed 2-per-byte on "
                   "device (%.1f GiB)" % (AD.shape[0], AD.shape[1], vmax,
                                          n_elems / 2**30))
+        if sharding is not None and sharding.mesh.devices.size > 1:
+            from .packed import pack_scipy_sharded
+            axis = next(a for a in sharding.spec if a is not None)
+            del coo
+            return pack_scipy_sharded(AD, DP, sharding.mesh, axis=axis)
         packed = coo.pack()
         del coo
         return packed

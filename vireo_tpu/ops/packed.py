@@ -35,7 +35,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .math import log_binom_coeff
 
-__all__ = ["PackedCounts", "pack_dense", "PACK_MAX"]
+__all__ = ["PackedCounts", "MeshPackedCounts", "pack_dense",
+           "pack_scipy_sharded", "PACK_MAX"]
 
 PACK_MAX = 15  # largest count a nibble holds exactly
 
@@ -408,3 +409,214 @@ def pack_dense(ad, dp, shape=None, block_v=1024, block_c=2048,
         ad_p=_pack_pair(jnp.asarray(ad), Vp=Vp, Cp2=Cp2),
         dp_p=_pack_pair(jnp.asarray(dp), Vp=Vp, Cp2=Cp2),
         shape=shape, block_v=bv, block_c=bc)
+
+
+# --------------------------------------------------------------------
+# mesh-sharded packed layout: the capacity rung on multi-chip pools
+# --------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MeshPackedCounts:
+    """Nibble-packed counts sharded over a 1-D device mesh along the
+    packed-cell axis.
+
+    Each device owns a self-contained packed block of `2 * c2_local`
+    consecutive cells (rounded to the kernel block grid, so global cell
+    indexing stays contiguous and W/loglik padding is a plain tail
+    pad). Every contraction shard_maps the single-device Pallas kernels
+    over the mesh: cell-side outputs stay sharded, variant-side
+    sufficient statistics are psum'd — the same collective pattern as
+    the dense GSPMD path (parallel/mesh.py), ~n_var * K * 4 B per call.
+
+    Extends the reference's only capacity mechanism (--cellRange manual
+    chunking, /root/reference/vireoSNP/vireo.py:136-142) to one
+    transparent multi-chip object.
+    """
+    ad_p: jax.Array                 # (Vp, S * c2_local) int8, sharded
+    dp_p: jax.Array
+    shape: tuple = dataclasses.field(metadata=dict(static=True))
+    mesh: object = dataclasses.field(metadata=dict(static=True))
+    axis: str = dataclasses.field(metadata=dict(static=True))
+    block_v: int = dataclasses.field(metadata=dict(static=True))
+    block_c: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_var(self):
+        return self.shape[0]
+
+    @property
+    def n_cell(self):
+        return self.shape[1]
+
+    @property
+    def n_shards(self):
+        return int(self.mesh.shape[self.axis])
+
+    @property
+    def c2_local(self):
+        return self.ad_p.shape[1] // self.n_shards
+
+    @property
+    def n_cell_pad(self):
+        return 2 * self.ad_p.shape[1]
+
+    def _local(self, ad_p, dp_p):
+        """Shard-local view: padding cells are real zero-count cells."""
+        return PackedCounts(ad_p=ad_p, dp_p=dp_p,
+                            shape=(self.n_var, 2 * ad_p.shape[1]),
+                            block_v=self.block_v, block_c=self.block_c)
+
+    def _shard_map(self, f, in_specs, out_specs):
+        from jax.sharding import PartitionSpec as P  # noqa: F401
+        return jax.shard_map(f, mesh=self.mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+
+    def _pad_cells(self, W):
+        return jnp.pad(W, ((0, self.n_cell_pad - self.n_cell), (0, 0)))
+
+    def suff_stats(self, W):
+        """(AD @ W, DP @ W) with a per-call psum of the (n_var, K)
+        statistics over the mesh axis."""
+        from jax.sharding import PartitionSpec as P
+        a = self.axis
+
+        def f(ad_p, dp_p, Wl):
+            S1, SS = self._local(ad_p, dp_p).suff_stats(Wl)
+            return jax.lax.psum((S1, SS), a)
+
+        return self._shard_map(
+            f, (P(None, a), P(None, a), P(a, None)), (P(), P()))(
+            self.ad_p, self.dp_p, self._pad_cells(W))
+
+    def cell_loglik(self, Wa, Wd):
+        """AD.T @ Wa + DP.T @ Wd; cell-sharded output, no collective."""
+        from jax.sharding import PartitionSpec as P
+        a = self.axis
+
+        def f(ad_p, dp_p, wa, wd):
+            return self._local(ad_p, dp_p).cell_loglik(wa, wd)
+
+        out = self._shard_map(
+            f, (P(None, a), P(None, a), P(), P()), P(a, None))(
+            self.ad_p, self.dp_p, Wa, Wd)
+        return out[:self.n_cell]
+
+    def binom_coeff_sum(self):
+        from jax.sharding import PartitionSpec as P
+        a = self.axis
+
+        def f(ad_p, dp_p):
+            return jax.lax.psum(
+                self._local(ad_p, dp_p).binom_coeff_sum(), a)
+
+        return self._shard_map(f, (P(None, a), P(None, a)), P())(
+            self.ad_p, self.dp_p)
+
+    def row_sums(self):
+        from jax.sharding import PartitionSpec as P
+        a = self.axis
+
+        def f(ad_p, dp_p):
+            return jax.lax.psum(self._local(ad_p, dp_p).row_sums(), a)
+
+        return self._shard_map(f, (P(None, a), P(None, a)), (P(), P()))(
+            self.ad_p, self.dp_p)
+
+    def n_vars_per_cell(self):
+        from jax.sharding import PartitionSpec as P
+        a = self.axis
+
+        def f(ad_p, dp_p):
+            return self._local(ad_p, dp_p).n_vars_per_cell()
+
+        out = self._shard_map(f, (P(None, a), P(None, a)), P(a))(
+            self.ad_p, self.dp_p)
+        return out[:self.n_cell]
+
+    def var_subset(self, idx):
+        """Row gather on the replicated variant axis (GSPMD keeps the
+        cell sharding); rows re-padded to the block grid."""
+        idx = np.asarray(idx)
+        Vp_min = _round_up(len(idx), 8)
+        bv = min(self.block_v, Vp_min)
+        Vp = _round_up(len(idx), bv)
+        gather = np.concatenate([idx, np.zeros(Vp - len(idx), idx.dtype)])
+        mask = jnp.asarray(
+            (np.arange(Vp) < len(idx)).astype(np.int8))[:, None]
+        return dataclasses.replace(
+            self, ad_p=self.ad_p[gather] * mask,
+            dp_p=self.dp_p[gather] * mask,
+            shape=(int(len(idx)), self.n_cell), block_v=bv)
+
+    def cell_slice(self, start, stop):
+        """Host-side fallback (--cellRange): gather to one device."""
+        ad = np.asarray(jax.device_get(self.ad_p))
+        dp = np.asarray(jax.device_get(self.dp_p))
+        single = PackedCounts(ad_p=jnp.asarray(ad), dp_p=jnp.asarray(dp),
+                              shape=(self.n_var, self.n_cell_pad),
+                              block_v=self.block_v, block_c=self.block_c)
+        return single.densify().cell_slice(start, stop)
+
+    def densify(self, dtype=jnp.int8):
+        from .counts import DenseCounts
+        from jax.sharding import PartitionSpec as P
+        a = self.axis
+
+        def f(ad_p, dp_p):
+            d = self._local(ad_p, dp_p).densify(dtype=dtype)
+            return d.ad, d.dp
+
+        ad, dp = self._shard_map(
+            f, (P(None, a), P(None, a)), (P(None, a), P(None, a)))(
+            self.ad_p, self.dp_p)
+        return DenseCounts(ad[:, :self.n_cell], dp[:, :self.n_cell])
+
+
+def pack_scipy_sharded(AD, DP, mesh, axis=None, block_v=1024,
+                       block_c=2048):
+    """Pack a scipy/numpy AD-DP pair into a MeshPackedCounts: cells are
+    split into equal per-device ranges (rounded up to the packed block
+    grid), each range packed host-side, and the concatenation placed as
+    one global array sharded along the packed-cell axis.
+
+    All counts must fit a nibble (<= 15); the counts_from_scipy ladder
+    checks the max first.
+    """
+    import scipy.sparse as sp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if axis is None:
+        axis = mesh.axis_names[0]
+    S = int(mesh.shape[axis])
+    A = sp.csc_matrix(AD)
+    D = sp.csc_matrix(DP)
+    V, C = A.shape
+
+    c_local = -(-C // S)                       # cells per device
+    c2 = -(-c_local // 2)
+    bc = min(block_c, _round_up(c2, 128))
+    c2_local = _round_up(c2, bc)
+    c_local = 2 * c2_local                     # block-grid aligned
+    Vp_min = _round_up(V, 8)
+    bv = min(block_v, Vp_min)
+    Vp = _round_up(V, bv)
+
+    def pack_range(M, lo, hi):
+        sub = sp.coo_matrix(M[:, lo:hi])
+        out = np.zeros((Vp, c2_local), np.uint8)
+        vals = sub.data.astype(np.uint8) << ((sub.col & 1) * 4).astype(
+            np.uint8)
+        np.bitwise_or.at(out, (sub.row, sub.col // 2), vals)
+        return out.view(np.int8)
+
+    ad_blocks, dp_blocks = [], []
+    for s in range(S):
+        lo, hi = s * c_local, min((s + 1) * c_local, C)
+        ad_blocks.append(pack_range(A, lo, hi))
+        dp_blocks.append(pack_range(D, lo, hi))
+    sh = NamedSharding(mesh, P(None, axis))
+    ad_p = jax.device_put(jnp.asarray(np.concatenate(ad_blocks, 1)), sh)
+    dp_p = jax.device_put(jnp.asarray(np.concatenate(dp_blocks, 1)), sh)
+    return MeshPackedCounts(ad_p=ad_p, dp_p=dp_p, shape=(int(V), int(C)),
+                            mesh=mesh, axis=axis, block_v=bv, block_c=bc)
