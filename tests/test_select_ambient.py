@@ -92,3 +92,30 @@ def test_ambient_em_against_reference(small_data, reference):
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(Llr), np.array(ref_llrs),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_k_sweep_recovers_true_donor_count():
+    """BASELINE config "K=2..8 ELBO model selection + donor_match":
+    sweep_n_donor picks the simulated K=4 and the K=4 fit aligns to the
+    true donors via optimal_match with high accuracy."""
+    import jax.numpy as jnp
+    from vireo_tpu.engine.select import sweep_n_donor
+    from vireo_tpu.engine.wrap import vireo_wrap
+    from vireo_tpu.ops.matching import optimal_match
+    from vireo_tpu.sim.synth import synth_pool_counts
+
+    pool = synth_pool_counts(n_var=500, n_cell=400, n_donor=4,
+                             density=0.25, mean_extra_depth=1.0, seed=11)
+    sweep = sweep_n_donor(pool["AD"], pool["DP"],
+                          n_donor_list=(2, 3, 4, 5, 6), n_init=4,
+                          max_iter_init=30, random_seed=1,
+                          dtype=jnp.float32, verbose=False)
+    assert sweep["best"] == 4
+
+    res = vireo_wrap(pool["AD"], pool["DP"], n_donor=4, learn_GT=True,
+                     n_init=4, random_seed=1, check_doublet=True,
+                     dtype=jnp.float32, verbose=False, mesh=None)
+    truth = pool["donor"]
+    _, perm = optimal_match(np.eye(4)[truth], res["ID_prob"], axis=1)
+    acc = (np.argmax(res["ID_prob"][:, perm], 1) == truth).mean()
+    assert acc > 0.95

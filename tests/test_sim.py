@@ -115,18 +115,31 @@ class FakeSink(list):
 
 
 class FakeBackend:
-    """In-memory double of the pysam backend."""
+    """In-memory double of the pysam backend. The pooled output sink
+    is `self.sink`; shard temp files live in `self.temps` until the
+    dedupe merge removes them."""
 
     def __init__(self, bams):
         self.bams = bams
         self.sink = FakeSink()
+        self.temps = {}
         self.finalized = None
 
     def open(self, path):
         return self.bams[path]
 
     def create(self, path, template):
-        return self.sink
+        if str(path).endswith(".pooled.bam"):
+            return self.sink
+        t = FakeSink()
+        self.temps[path] = t
+        return t
+
+    def read_all(self, path):
+        return iter(self.temps[path])
+
+    def remove(self, path):
+        del self.temps[path]
 
     def finalize(self, path, out_prefix):
         self.finalized = out_prefix + ".sorted.bam"
@@ -208,3 +221,90 @@ def test_pool_bams_whole_file_and_doublets(tmp_path):
     assert len(d_tags) == 2 and len(set(d_tags)) == 1
     truth = (tmp_path / "p2.cell_info.tsv").read_text().splitlines()
     assert len(truth) == 4                        # header + 2S + 1D
+
+
+def test_pool_bams_parallel_matches_serial(tmp_path):
+    """The threaded shard fan-out (nproc>1) produces exactly the serial
+    result: same reads, same relabeling, duplicates across shard
+    boundaries removed at merge."""
+    from vireo_tpu.sim.pool_bam import pool_bams
+
+    barcodes = ["BC%02d" % i for i in range(8)]
+
+    def make_reads():  # fresh objects per run (relabeling mutates tags)
+        return [FakeRead("r%03d" % (i % 120), "1", 10 + (i * 13) % 400,
+                         {"CB": barcodes[i % len(barcodes)]})
+                for i in range(300)]
+
+    vcf = _region_vcf(tmp_path, [("1", p) for p in range(11, 411, 7)])
+
+    def run(nproc, tag):
+        backend = FakeBackend({"x.bam": FakeBam(make_reads())})
+        rng = np.random.RandomState(7)
+        pool_bams(["x.bam"], [barcodes], [len(barcodes)],
+                  str(tmp_path / tag), doublet_rate=0.0, region_vcf=vcf,
+                  nproc=nproc, rng=rng, backend=backend)
+        assert not backend.temps        # all shard temps consumed
+        return [(r.query_name, r.get_tag("CB")) for r in backend.sink]
+
+    serial = run(1, "ser")
+    parallel = run(4, "par")
+    assert len(serial) > 0
+    assert sorted(serial) == sorted(parallel)
+    names = [n for n, _ in parallel]
+    assert len(names) == len(set(names))          # deduped
+
+
+def test_sim_cli_help_and_errors(tmp_path):
+    import subprocess
+    import sys
+    out = subprocess.run(
+        [sys.executable, "-m", "vireo_tpu.sim.pool_bam", "--help"],
+        capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0
+    assert "--samFiles" in out.stdout and "--doubletRate" in out.stdout
+
+    out = subprocess.run(
+        [sys.executable, "-m", "vireo_tpu.sim.pool_bam",
+         "-s", "a.bam", "-b", "a.tsv", "-r", "x.vcf", "--noregionFile"],
+        capture_output=True, text=True, timeout=120)
+    assert out.returncode != 0
+    assert "mutually exclusive" in out.stderr
+
+
+def test_pool_bams_real_pysam_smoke(tmp_path):
+    """Gated real-BAM execution: build a tiny BAM with pysam, pool it
+    at SNP positions, and check the sorted+indexed output (skipped
+    where pysam is absent)."""
+    pysam = pytest.importorskip("pysam")
+    from vireo_tpu.sim.pool_bam import pool_bams
+
+    header = {"HD": {"VN": "1.6", "SO": "coordinate"},
+              "SQ": [{"SN": "1", "LN": 1000}]}
+    bam_path = str(tmp_path / "d0.bam")
+    with pysam.AlignmentFile(bam_path, "wb", header=header) as f:
+        for i, (bc, pos) in enumerate([("AAA", 99), ("AAA", 104),
+                                       ("ZZZ", 99), ("AAA", 300)]):
+            a = pysam.AlignedSegment()
+            a.query_name = "r%d" % i
+            a.query_sequence = "ACGT"
+            a.reference_id = 0
+            a.reference_start = pos
+            a.cigarstring = "4M"
+            a.flag = 0
+            a.mapping_quality = 60
+            a.set_tag("CB", bc)
+            f.write(a)
+    pysam.index(bam_path)
+
+    vcf = _region_vcf(tmp_path, [("1", 101), ("1", 106)])
+    rng = np.random.RandomState(0)
+    out = pool_bams([bam_path], [["AAA"]], [1], str(tmp_path / "pp"),
+                    doublet_rate=0.0, region_vcf=vcf, nproc=2, rng=rng)
+    assert out.endswith(".sorted.bam")
+    with pysam.AlignmentFile(out, "rb") as f:
+        got = [(r.query_name, r.get_tag("CB"))
+               for r in f.fetch(until_eof=True)]
+    names = sorted(n for n, _ in got)
+    assert names == ["r0", "r1"]                  # at SNPs, known BC
+    assert all(t == "AAAS" for _, t in got)
