@@ -169,8 +169,9 @@ def main():
             results[name + "_s"] = round(dt, 5)
             results[name + "_ns_per_nnz"] = round(1e9 * dt / nnz, 3)
         except Exception as e:  # capability failures are a RESULT here
+            first = (str(e).splitlines() or [""])[0]
             results[name + "_error"] = "%s: %s" % (
-                type(e).__name__, str(e).splitlines()[0][:200])
+                type(e).__name__, first[:200])
         print(json.dumps({k: v for k, v in results.items()
                           if k.startswith(name) or k in ("nnz", "backend")}))
     print(json.dumps(results))

@@ -1,0 +1,191 @@
+"""HybridCounts (clipped base + overflow residual) exactness tests.
+
+The hybrid layout splits integer counts linearly around a cap
+(X = min(X, cap) + overflow), so every linear contraction must be
+EXACT vs the f64 dense reference up to the base layout's matmul class
+(int8->bf16 inputs are exact integers <= 127; packed kernels are f32).
+The binomial-coefficient sum is non-linear and covered by a build-time
+scalar correction.
+"""
+
+import numpy as np
+import scipy.sparse as sp
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vireo_tpu.ops.counts import (dense_counts, sparse_counts,
+                                  hybrid_from_coo, counts_from_scipy,
+                                  DenseCounts, SparseCounts, HybridCounts)
+from vireo_tpu.ops.packed import PackedCounts, PACK_MAX
+
+
+@pytest.fixture(scope="module")
+def heavy_data():
+    """Sparse counts with a planted heavy tail: most entries are small
+    UMI-scale depths, ~7% of nonzeros run into the hundreds (above both
+    the int8 cap 127 and the nibble cap 15)."""
+    rng = np.random.RandomState(5)
+    V, C = 50, 40          # C divisible by the 8-device test mesh
+    DP = (rng.rand(V, C) < 0.3) * rng.poisson(3, size=(V, C))
+    hot = (DP > 0) & (rng.rand(V, C) < 0.07)
+    DP = DP + hot * rng.randint(150, 700, size=(V, C))
+    AD = rng.binomial(DP.astype(int), 0.4)
+    assert DP.max() > 256          # beyond the bf16-exact rung too
+    return (sp.csc_matrix(AD.astype(float)),
+            sp.csc_matrix(DP.astype(float)))
+
+
+def _hybrid(heavy_data, cap, kind):
+    AD, DP = heavy_data
+    coo = sparse_counts(AD, DP, dtype=jnp.float64, pad_multiple=64)
+    h = hybrid_from_coo(coo, cap, kind, pad_multiple=32)
+    ref = dense_counts(AD, DP, dtype=jnp.float64)
+    return h, ref
+
+
+@pytest.mark.parametrize("cap,kind,rtol", [(127, "int8", 1e-6),
+                                           (PACK_MAX, "packed", 1e-4)])
+def test_contractions_match_dense(heavy_data, cap, kind, rtol):
+    h, ref = _hybrid(heavy_data, cap, kind)
+    assert h.resid_nnz > 0
+    rng = np.random.RandomState(0)
+    W = jnp.asarray(rng.rand(ref.n_cell, 4))
+    S1h, SSh = h.suff_stats(W)
+    S1r, SSr = ref.suff_stats(W)
+    np.testing.assert_allclose(np.asarray(S1h), np.asarray(S1r),
+                               rtol=rtol, atol=rtol)
+    np.testing.assert_allclose(np.asarray(SSh), np.asarray(SSr),
+                               rtol=rtol, atol=rtol)
+
+    Wa = jnp.asarray(rng.randn(ref.n_var, 4))
+    Wd = jnp.asarray(rng.randn(ref.n_var, 4))
+    scale = float(np.abs(np.asarray(ref.cell_loglik(Wa, Wd))).max())
+    np.testing.assert_allclose(np.asarray(h.cell_loglik(Wa, Wd)),
+                               np.asarray(ref.cell_loglik(Wa, Wd)),
+                               rtol=rtol, atol=rtol * scale)
+
+
+@pytest.mark.parametrize("cap,kind", [(127, "int8"), (PACK_MAX, "packed")])
+def test_reductions_exact(heavy_data, cap, kind):
+    h, ref = _hybrid(heavy_data, cap, kind)
+    np.testing.assert_allclose(float(h.binom_coeff_sum()),
+                               float(ref.binom_coeff_sum()), rtol=1e-8)
+    ah, dh = h.row_sums()
+    ar, dr = ref.row_sums()
+    np.testing.assert_allclose(np.asarray(ah, dtype=np.float64),
+                               np.asarray(ar), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(dh, dtype=np.float64),
+                               np.asarray(dr), rtol=1e-8)
+    np.testing.assert_array_equal(np.asarray(h.n_vars_per_cell()),
+                                  np.asarray(ref.n_vars_per_cell()))
+
+
+@pytest.mark.parametrize("cap,kind", [(127, "int8"), (PACK_MAX, "packed")])
+def test_densify_exact(heavy_data, cap, kind):
+    AD, DP = heavy_data
+    h, _ = _hybrid(heavy_data, cap, kind)
+    d = h.densify()
+    np.testing.assert_allclose(np.asarray(d.ad), AD.toarray())
+    np.testing.assert_allclose(np.asarray(d.dp), DP.toarray())
+
+
+def test_ladder_selects_hybrid(heavy_data):
+    AD, DP = heavy_data
+    n_elems = AD.shape[0] * AD.shape[1]
+
+    # f32 dense (8 bytes/entry-pair) over budget, int8 hybrid under it
+    c = counts_from_scipy(AD, DP, max_dense_elems=10,
+                          dense_budget=3 * n_elems)
+    assert isinstance(c, HybridCounts)
+    assert isinstance(c.base, DenseCounts)
+    assert c.base.ad.dtype == jnp.int8
+
+    # int8 hybrid (2 bytes) over budget, packed hybrid (1 byte) under
+    c = counts_from_scipy(AD, DP, max_dense_elems=10,
+                          dense_budget=1.5 * n_elems)
+    assert isinstance(c, HybridCounts)
+    assert isinstance(c.base, PackedCounts)
+
+    # nothing dense fits: pure COO fallback
+    c = counts_from_scipy(AD, DP, max_dense_elems=10, dense_budget=100)
+    assert isinstance(c, SparseCounts)
+
+
+def test_em_fit_parity(heavy_data):
+    """A full fit_vb on int8-hybrid counts matches the dense-f32 fit
+    from the same init (exact integer operands, same contraction
+    shapes)."""
+    from vireo_tpu.models.vireo import (VireoConfig, init_state,
+                                        default_priors, fit_vb)
+    AD, DP = heavy_data
+    coo = sparse_counts(AD, DP, dtype=jnp.float32, pad_multiple=64)
+    h = hybrid_from_coo(coo, 127, "int8", pad_multiple=32)
+    d = dense_counts(AD, DP, dtype=jnp.float32)
+
+    cfg = VireoConfig(n_var=d.n_var, n_cell=d.n_cell, n_donor=3)
+    rng = np.random.RandomState(7)
+    state = init_state(cfg, rng=rng, dtype=jnp.float32)
+    priors = default_priors(cfg, dtype=jnp.float32)
+
+    res_h = fit_vb(h, state, priors, cfg, max_iter=30)
+    res_d = fit_vb(d, state, priors, cfg, max_iter=30)
+    np.testing.assert_allclose(float(res_h.elbo_final),
+                               float(res_d.elbo_final), rtol=1e-4)
+    id_h = np.asarray(res_h.state.id_prob)
+    id_d = np.asarray(res_d.state.id_prob)
+    conf = (id_h.max(1) > 0.9) & (id_d.max(1) > 0.9)
+    np.testing.assert_array_equal(np.argmax(id_h[conf], 1),
+                                  np.argmax(id_d[conf], 1))
+
+
+def test_sharded_hybrid_parity(heavy_data):
+    """counts_from_scipy under a cell sharding still selects the hybrid
+    rung and its contractions match the unsharded values on the
+    8-virtual-device mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from vireo_tpu.parallel.mesh import make_mesh, CELL_AXIS
+
+    AD, DP = heavy_data
+    n_elems = AD.shape[0] * AD.shape[1]
+    mesh = make_mesh(8)
+    sh = NamedSharding(mesh, P(None, CELL_AXIS))
+
+    c = counts_from_scipy(AD, DP, max_dense_elems=10,
+                          dense_budget=3 * n_elems, sharding=sh)
+    assert isinstance(c, HybridCounts)
+    ref = dense_counts(AD, DP, dtype=jnp.float64)
+
+    rng = np.random.RandomState(3)
+    W = jnp.asarray(rng.rand(ref.n_cell, 4))
+    S1h, SSh = jax.jit(lambda w: c.suff_stats(w))(W)
+    S1r, SSr = ref.suff_stats(W)
+    np.testing.assert_allclose(np.asarray(S1h), np.asarray(S1r),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(SSh), np.asarray(SSr),
+                               rtol=1e-6, atol=1e-6)
+    Wa = jnp.asarray(rng.randn(ref.n_var, 4))
+    Wd = jnp.asarray(rng.randn(ref.n_var, 4))
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(lambda a, b: c.cell_loglik(a, b))(Wa, Wd)),
+        np.asarray(ref.cell_loglik(Wa, Wd)), rtol=1e-5, atol=1e-5)
+
+
+def test_wrap_pads_uneven_cells_on_mesh(small_data):
+    """vireo_wrap on an explicit mesh pads a non-divisible cell axis
+    with zero-count cells and returns arrays at the true cell count
+    (the reference's only capacity mechanism --cellRange requires the
+    user to manage ranges manually, vireo.py:136-142)."""
+    from vireo_tpu.engine.wrap import vireo_wrap
+    from vireo_tpu.parallel.mesh import make_mesh
+
+    AD, DP, donor = small_data          # 40 cells? -> slice to 37
+    AD, DP = AD[:, :37], DP[:, :37]     # force C % 8 != 0
+    res = vireo_wrap(AD, DP, n_donor=3, n_init=2, random_seed=1,
+                     check_doublet=True, verbose=False,
+                     mesh=make_mesh(8))
+    assert res["ID_prob"].shape[0] == 37
+    assert res["doublet_LLR"].shape[0] == 37
+    np.testing.assert_allclose(
+        res["ID_prob"].sum(1) + res["doublet_prob"].sum(1), 1.0,
+        rtol=1e-4)

@@ -110,14 +110,26 @@ def test_ladder_prefers_packed_when_int8_does_not_fit(nibble_data):
     # nothing fits -> COO
     c = counts_from_scipy(ADs, DPs, max_dense_elems=0, dense_budget=0)
     assert isinstance(c, SparseCounts)
-    # counts beyond a nibble never pack
+    # counts beyond a nibble pack via the hybrid rung (clipped base +
+    # overflow residual); plain packed only ever sees nibble counts
+    from vireo_tpu.ops.counts import HybridCounts
     AD2 = AD.copy()
     AD2[0, 0] = 40.0
     DP2 = DP.copy()
     DP2[0, 0] = 50.0
     c = counts_from_scipy(sp.csr_matrix(AD2), sp.csr_matrix(DP2),
                           max_dense_elems=0, dense_budget=1.5 * n)
-    assert isinstance(c, SparseCounts)
+    assert isinstance(c, HybridCounts)
+    assert isinstance(c.base, PackedCounts)
+    # ... and pure COO with the hybrid rung disabled
+    import os
+    os.environ["VIREO_NO_HYBRID"] = "1"
+    try:
+        c = counts_from_scipy(sp.csr_matrix(AD2), sp.csr_matrix(DP2),
+                              max_dense_elems=0, dense_budget=1.5 * n)
+        assert isinstance(c, SparseCounts)
+    finally:
+        del os.environ["VIREO_NO_HYBRID"]
 
 
 def test_em_fit_on_packed():

@@ -46,10 +46,21 @@ def _resolve_mesh(mesh, n_cell):
     return None
 
 
+def _pad_cells(X, n_pad):
+    """Append `n_pad` zero-count cells (columns) to a scipy/numpy
+    count matrix."""
+    import scipy.sparse as sp
+    if sp.issparse(X):
+        pad = sp.csc_matrix((X.shape[0], n_pad), dtype=X.dtype)
+        return sp.hstack([X.tocsc(), pad]).tocsc()
+    return np.pad(np.asarray(X), ((0, 0), (0, n_pad)))
+
+
 def _as_counts(AD, DP, dtype, mesh=None, verbose=False):
     if hasattr(AD, "suff_stats"):     # already a device counts object
         counts = AD
-        if mesh is not None and isinstance(counts, DenseCounts):
+        if mesh is not None and isinstance(counts, DenseCounts) \
+                and counts.n_cell % int(mesh.devices.size) == 0:
             sh = _cell_sharding(mesh)
             counts = DenseCounts(jax.device_put(counts.ad, sh),
                                  jax.device_put(counts.dp, sh))
@@ -122,6 +133,16 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
     if mesh is not None and verbose:
         print("[vireo] cell axis sharded over %d devices"
               % mesh.devices.size)
+    # sharded placement needs the cell axis divisible by the mesh: pad
+    # with zero-count cells (assignment = prior, removed from every
+    # returned array below)
+    n_pad_cells = 0
+    if mesh is not None and not hasattr(AD, "suff_stats"):
+        rem = n_cell_in % int(mesh.devices.size)
+        if rem:
+            n_pad_cells = int(mesh.devices.size) - rem
+            AD = _pad_cells(AD, n_pad_cells)
+            DP = _pad_cells(DP, n_pad_cells)
     with phase("data_placement"):
         counts = _as_counts(AD, DP, dtype, mesh=mesh, verbose=verbose)
 
@@ -355,4 +376,9 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
     RV['Psi_LLRatio'] = Psi_logLik_ratio
     RV['LB_list'] = elbo_all
     RV['LB_doublet'] = modelCA.ELBO_[-1]
+    if n_pad_cells:
+        for key in ('ID_prob', 'doublet_prob', 'doublet_LLR',
+                    'ambient_Psi', 'Psi_var', 'Psi_LLRatio'):
+            if RV.get(key) is not None:
+                RV[key] = np.asarray(RV[key])[:n_cell_in]
     return RV

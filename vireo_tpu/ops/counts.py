@@ -34,9 +34,9 @@ import jax.numpy as jnp
 from .math import log_binom_coeff
 
 __all__ = [
-    "Counts", "DenseCounts", "SparseCounts",
+    "Counts", "DenseCounts", "SparseCounts", "HybridCounts",
     "dense_counts", "sparse_counts", "counts_from_scipy",
-    "exact_count_dtype", "device_dense_budget",
+    "hybrid_from_coo", "exact_count_dtype", "device_dense_budget",
 ]
 
 
@@ -274,20 +274,25 @@ class SparseCounts:
         """Largest count value (host float) — the densify dtype guard."""
         return float(jnp.maximum(jnp.max(self.ad_r), jnp.max(self.dp_r)))
 
-    def pack(self):
+    def pack(self, clip=False):
         """Scatter the COO triplets directly into the 4-bit
         nibble-packed dense layout (ops/packed.py) without ever
         materializing a 1-byte-per-count matrix. Requires every count
-        <= 15 (the ladder checks `max_count()` first). int8 adds wrap
-        mod 256, which is bit-exact for disjoint nibbles."""
-        from .packed import PackedCounts, _pick_blocks
+        <= 15 (the ladder checks `max_count()` first) unless `clip`
+        saturates larger values at 15 (the hybrid base layout, which
+        carries the clipped remainder in a COO residual). int8 adds
+        wrap mod 256, which is bit-exact for disjoint nibbles."""
+        from .packed import PackedCounts, _pick_blocks, PACK_MAX
         V, C = self.shape
         Vp, Cp2, bv, bc = _pick_blocks(V, C, 1024, 2048)
 
         @jax.jit
         def scatter(vals, rows, cols):
+            v = vals.astype(jnp.int32)
+            if clip:
+                v = jnp.minimum(v, PACK_MAX)
             shift = (cols.astype(jnp.int32) & 1) * 4
-            b = vals.astype(jnp.int32) << shift
+            b = v << shift
             b = jnp.where(b > 127, b - 256, b).astype(jnp.int8)
             return jnp.zeros((Vp, Cp2), jnp.int8).at[
                 rows, cols // 2].add(b)
@@ -333,13 +338,166 @@ class SparseCounts:
                 dp_v.astype(dtype))
             return ad, dp
 
+        place_after = False
         if sharding is not None:
-            scatter = jax.jit(scatter, out_shardings=(sharding, sharding))
+            try:
+                sharding.shard_shape(tuple(self.shape))
+                scatter = jax.jit(scatter,
+                                  out_shardings=(sharding, sharding))
+            except Exception:
+                # unevenly sharded dim: out_shardings requires exact
+                # divisibility, device_put pads internally
+                place_after = True
         ad, dp = scatter(self.ad_r, self.dp_r, self.rows_r, self.cols_r)
+        if place_after:
+            ad = jax.device_put(ad, sharding)
+            dp = jax.device_put(dp, sharding)
         return DenseCounts(ad, dp)
 
 
-Counts = (DenseCounts, SparseCounts)
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HybridCounts:
+    """Clipped dense/packed base + tiny COO residual of overflow deltas.
+
+    Integer counts split linearly around a cap:
+
+        X = min(X, cap) + max(X - cap, 0)
+
+    so every linear contraction (suff_stats, cell_loglik, row_sums) is
+    EXACTLY the base-layout contraction plus a COO contraction over the
+    few entries that overflow the cap. Real scRNA count matrices are
+    dominated by small counts (UMI depths of 1-5); entries above 127
+    (int8 cap) or 15 (nibble cap) are a tiny tail, so the residual nnz
+    is a small fraction of the total and the iteration runs at the
+    dense/packed rung's HBM-roofline speed REGARDLESS of the maximum
+    count. This removes the count-magnitude restriction that previously
+    forced large-count pools onto the ~50x-slower pure-COO fallback
+    (the reference has no analog: scipy spMM is magnitude-agnostic but
+    ~300x slower end to end, vireoSNP/utils/vireo_model.py:165-219).
+
+    The one non-linear reduction, sum log C(DP, AD), is handled by a
+    scalar correction computed once at build time on the true values:
+    ``binom_corr = sum_over_overflow[logC(true) - logC(clipped)]``.
+    """
+    base: object                  # DenseCounts (int8) or PackedCounts
+    resid: SparseCounts           # overflow deltas, padded COO
+    binom_corr: jax.Array         # 0-d: binom-coeff correction
+    cap: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_var(self):
+        return self.base.n_var
+
+    @property
+    def n_cell(self):
+        return self.base.n_cell
+
+    @property
+    def resid_nnz(self):
+        return self.resid.nnz
+
+    def suff_stats(self, W):
+        b1, b2 = self.base.suff_stats(W)
+        r1, r2 = self.resid.suff_stats(W)
+        return b1 + r1, b2 + r2
+
+    def cell_loglik(self, Wa, Wd):
+        return (self.base.cell_loglik(Wa, Wd)
+                + self.resid.cell_loglik(Wa, Wd))
+
+    def binom_coeff_sum(self):
+        return self.base.binom_coeff_sum() + self.binom_corr
+
+    def row_sums(self):
+        ba, bd = self.base.row_sums()
+        ra, rd = self.resid.row_sums()
+        return ba + ra, bd + rd
+
+    def n_vars_per_cell(self):
+        # clip preserves the DP > 0 pattern (cap >= 1), so the base
+        # count is already exact
+        return self.base.n_vars_per_cell()
+
+    def densify(self, dtype=jnp.float32):
+        """Exact dense f32 counts (ambient path; small matrices only)."""
+        b = self.base if isinstance(self.base, DenseCounts) \
+            else self.base.densify()
+        r = self.resid
+
+        @jax.jit
+        def add_resid(x, vals):
+            # residual padding entries carry value 0 at (0, 0): no-ops
+            return x.astype(dtype).at[r.rows_r, r.cols_r].add(
+                vals.astype(dtype))
+
+        return DenseCounts(add_resid(b.ad, r.ad_r),
+                           add_resid(b.dp, r.dp_r))
+
+    def var_subset(self, idx):
+        """Host-side path (GTbarcode / variant_select on small data)."""
+        return self.densify().var_subset(idx)
+
+    def cell_slice(self, start, stop):
+        return self.densify().cell_slice(start, stop)
+
+
+def _np_log_binom_coeff(dp, ad, max_val=700.0):
+    """Host f64 mirror of ops.math.log_binom_coeff (same 700 clip,
+    0 where dp == 0) for the hybrid build-time correction."""
+    from scipy.special import gammaln
+    dp = np.asarray(dp, np.float64)
+    ad = np.asarray(ad, np.float64)
+    val = gammaln(dp + 1.0) - gammaln(ad + 1.0) - gammaln(dp - ad + 1.0)
+    val = np.minimum(val, max_val)
+    return np.where(dp > 0, val, 0.0)
+
+
+def hybrid_from_coo(coo, cap, kind, sharding=None, pad_multiple=8192,
+                    base=None):
+    """Build HybridCounts from full-precision COO triplets.
+
+    `kind` selects the base layout: "int8" (cap 127) or "packed"
+    (cap 15). `sharding` places a dense base cell-sharded on the mesh
+    and replicates the (tiny) residual. A pre-built `base` (e.g. a
+    MeshPackedCounts over clipped counts) overrides the kind-derived
+    construction.
+    """
+    ar = np.asarray(jax.device_get(coo.ad_r), np.float64)
+    dr = np.asarray(jax.device_get(coo.dp_r), np.float64)
+    rr = np.asarray(jax.device_get(coo.rows_r))
+    cr = np.asarray(jax.device_get(coo.cols_r))
+    m = (ar > cap) | (dr > cap)          # padding (0 values) never hits
+    at, dt = ar[m], dr[m]
+    corr = float(np.sum(_np_log_binom_coeff(dt, at))
+                 - np.sum(_np_log_binom_coeff(np.minimum(dt, cap),
+                                              np.minimum(at, cap))))
+    resid = _sparse_from_triplets(
+        rr[m], cr[m], np.maximum(at - cap, 0.0), np.maximum(dt - cap, 0.0),
+        coo.shape, pad_multiple=pad_multiple)
+
+    if base is not None:
+        pass
+    elif kind == "int8":
+        base = coo.densify(dtype=jnp.int8, check_overflow=False,
+                           sharding=sharding)
+    elif kind == "packed":
+        base = coo.pack(clip=True)
+    else:
+        raise ValueError("unknown hybrid base kind %r" % (kind,))
+
+    if sharding is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        rep = NamedSharding(sharding.mesh, PartitionSpec())
+        resid = jax.tree.map(lambda x: jax.device_put(x, rep), resid)
+
+    corr_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    return HybridCounts(base=base, resid=resid,
+                        binom_corr=jnp.asarray(corr, corr_dtype),
+                        cap=int(cap))
+
+
+Counts = (DenseCounts, SparseCounts, HybridCounts)
 
 
 # --------------------------------------------------------------------
@@ -492,6 +650,18 @@ def sparse_counts(AD, DP, dtype=jnp.float32, pad_multiple=8192):
     ad_vals = np.asarray(A_csr[rows, cols]).reshape(-1)
     dp_vals = np.asarray(D_csr[rows, cols]).reshape(-1)
 
+    return _sparse_from_triplets(rows, cols, ad_vals, dp_vals,
+                                 (n_var, n_cell), dtype=dtype,
+                                 pad_multiple=pad_multiple)
+
+
+def _sparse_from_triplets(rows, cols, ad_vals, dp_vals, shape,
+                          dtype=jnp.float32, pad_multiple=8192):
+    """Build SparseCounts from host COO triplets (no de-duplication:
+    (row, col) pairs must be unique)."""
+    n_var, n_cell = shape
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
     nnz = len(rows)
     nnz_pad = _round_up(nnz, pad_multiple)
 
@@ -502,8 +672,8 @@ def sparse_counts(AD, DP, dtype=jnp.float32, pad_multiple=8192):
         d = np.zeros(nnz_pad, np.float64)
         r[:nnz] = rows[order]
         c[:nnz] = cols[order]
-        a[:nnz] = ad_vals[order]
-        d[:nnz] = dp_vals[order]
+        a[:nnz] = np.asarray(ad_vals)[order]
+        d[:nnz] = np.asarray(dp_vals)[order]
         return r, c, a, d
 
     row_order = np.lexsort((cols, rows))
@@ -544,6 +714,15 @@ def _scipy_max(X):
     if hasattr(X, "data"):
         return float(X.data.max()) if X.nnz else 0.0
     return float(np.max(X)) if X.size else 0.0
+
+
+def _scipy_clip(X, cap):
+    """Copy of a scipy-sparse / numpy count matrix clipped at `cap`."""
+    if hasattr(X, "data"):
+        Y = X.copy()
+        Y.data = np.minimum(Y.data, cap)
+        return Y
+    return np.minimum(np.asarray(X), cap)
 
 
 def device_dense_budget():
@@ -610,6 +789,20 @@ def counts_from_scipy(AD, DP, dtype=jnp.float32, max_dense_elems=64_000_000,
                             sharding=sharding)
         del coo  # free the COO triplets before the fit allocates
         return dense
+    no_hybrid = os.environ.get("VIREO_NO_HYBRID", "0") == "1"
+    # hybrid rung: int8 base clipped at 127 + COO residual of the rare
+    # overflow deltas — dense-rung speed at ANY count magnitude. This
+    # covers the regime the exact ladder above cannot (vmax > 127 with
+    # bf16/f32 exceeding HBM) that previously fell through to the
+    # ~50x-slower pure-COO fallback.
+    if vmax > 127 and 2 * n_elems <= budget and not no_hybrid:
+        if verbose:
+            print("[vireo] %dx%d counts (max %.0f) split into int8 base "
+                  "+ overflow residual (%.1f GiB dense)"
+                  % (AD.shape[0], AD.shape[1], vmax, 2 * n_elems / 2**30))
+        h = hybrid_from_coo(coo, 127, "int8", sharding=sharding)
+        del coo
+        return h
     # capacity rung: 4-bit nibble packing halves the dense footprint
     # whenever every count fits a nibble (<= 15). ~7% slower per pass
     # than int8 (MXU-lane-floor-bound either way) but keeps matrices
@@ -617,8 +810,8 @@ def counts_from_scipy(AD, DP, dtype=jnp.float32, max_dense_elems=64_000_000,
     # packed bytes are sharded along the cell axis (MeshPackedCounts)
     # so multi-chip pools get the 2x capacity too.
     from .packed import PACK_MAX
-    if vmax <= PACK_MAX and n_elems <= budget \
-            and os.environ.get("VIREO_NO_PACKED", "0") != "1":
+    packed_ok = os.environ.get("VIREO_NO_PACKED", "0") != "1"
+    if vmax <= PACK_MAX and n_elems <= budget and packed_ok:
         if verbose:
             print("[vireo] %dx%d counts (max %.0f) packed 2-per-byte on "
                   "device (%.1f GiB)" % (AD.shape[0], AD.shape[1], vmax,
@@ -631,6 +824,26 @@ def counts_from_scipy(AD, DP, dtype=jnp.float32, max_dense_elems=64_000_000,
         packed = coo.pack()
         del coo
         return packed
+    # packed hybrid rung: nibble base clipped at 15 + overflow residual
+    # — the half-footprint capacity rung without the count-magnitude
+    # restriction.
+    if vmax > PACK_MAX and n_elems <= budget and packed_ok \
+            and not no_hybrid:
+        if verbose:
+            print("[vireo] %dx%d counts (max %.0f) split into packed "
+                  "nibble base + overflow residual (%.1f GiB)"
+                  % (AD.shape[0], AD.shape[1], vmax, n_elems / 2**30))
+        base = None
+        if sharding is not None and sharding.mesh.devices.size > 1:
+            from .packed import pack_scipy_sharded
+            axis = next(a for a in sharding.spec if a is not None)
+            base = pack_scipy_sharded(_scipy_clip(AD, PACK_MAX),
+                                      _scipy_clip(DP, PACK_MAX),
+                                      sharding.mesh, axis=axis)
+        h = hybrid_from_coo(coo, PACK_MAX, "packed", sharding=sharding,
+                            base=base)
+        del coo
+        return h
     if verbose:
         print("[vireo] %dx%d counts too large for dense HBM layout "
               "(%.1f GiB > budget %.1f GiB); using COO segment-sum"
