@@ -80,7 +80,7 @@ def main():
     priors = default_priors(cfg, dtype=jnp.float32)
 
     @jax.jit
-    def run(state):
+    def run(counts, state):
         def body(i, st):
             st, _, _ = em_step(counts, st, priors, cfg,
                                update_theta=True)
@@ -88,12 +88,12 @@ def main():
         return jax.lax.fori_loop(0, iters, body, state)
 
     t0 = time.time()
-    out = run(state)
+    out = run(counts, state)
     jax.block_until_ready(out.id_prob)
     t_compile_and_first = time.time() - t0
 
     t0 = time.time()
-    out = run(state)
+    out = run(counts, state)
     jax.block_until_ready(out.id_prob)
     dt = (time.time() - t0) / iters
 

@@ -199,3 +199,26 @@ def test_coo_exact_env_knob(monkeypatch, small_data):
     W = jnp.asarray(np.random.RandomState(3).rand(d.n_cell, 4))
     np.testing.assert_allclose(np.asarray(s.suff_stats(W)[0]),
                                np.asarray(d.suff_stats(W)[0]), rtol=1e-10)
+
+
+def test_densify_and_pack_chunked_scatter(small_data, monkeypatch):
+    """The chunked device scatter (fori_loop over nnz blocks — the
+    TPU-scale path, where one 30M-index scatter pads 64x and OOMs)
+    produces the same dense/packed layouts as the single-call path."""
+    import os
+    AD, DP, _ = small_data
+    s = sparse_counts(AD, DP, dtype=jnp.float64, pad_multiple=64)
+
+    monkeypatch.setenv("VIREO_SCATTER_BLOCK", "64")
+    d = s.densify(dtype=jnp.int8, check_overflow=False)
+    p = s.pack(clip=True)
+    monkeypatch.delenv("VIREO_SCATTER_BLOCK")
+    d_ref = s.densify(dtype=jnp.int8, check_overflow=False)
+    p_ref = s.pack(clip=True)
+
+    np.testing.assert_array_equal(np.asarray(d.ad), np.asarray(d_ref.ad))
+    np.testing.assert_array_equal(np.asarray(d.dp), np.asarray(d_ref.dp))
+    np.testing.assert_array_equal(np.asarray(p.densify().ad),
+                                  np.asarray(p_ref.densify().ad))
+    np.testing.assert_array_equal(np.asarray(p.densify().dp),
+                                  np.asarray(p_ref.densify().dp))

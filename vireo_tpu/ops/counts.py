@@ -286,16 +286,36 @@ class SparseCounts:
         V, C = self.shape
         Vp, Cp2, bv, bc = _pick_blocks(V, C, 1024, 2048)
 
+        block = _scatter_block()  # chunked: see densify() on scatter-
+                                  # index padding (30M indices OOM)
+
         @jax.jit
         def scatter(vals, rows, cols):
             v = vals.astype(jnp.int32)
             if clip:
                 v = jnp.minimum(v, PACK_MAX)
             shift = (cols.astype(jnp.int32) & 1) * 4
-            b = v << shift
-            b = jnp.where(b > 127, b - 256, b).astype(jnp.int8)
-            return jnp.zeros((Vp, Cp2), jnp.int8).at[
-                rows, cols // 2].add(b)
+            b = jnp.where(v << shift > 127, (v << shift) - 256,
+                          v << shift).astype(jnp.int8)
+            n = rows.shape[0]
+            blk = min(block, n)
+            n_full = n // blk
+
+            def add_chunk(lo, m, buf):
+                r = jax.lax.dynamic_slice_in_dim(rows, lo, m)
+                c = jax.lax.dynamic_slice_in_dim(cols, lo, m)
+                x = jax.lax.dynamic_slice_in_dim(b, lo, m)
+                return buf.at[r, c // 2].add(x)
+
+            buf = jnp.zeros((Vp, Cp2), jnp.int8)
+            if n_full:
+                buf = jax.lax.fori_loop(
+                    0, n_full, lambda i, y: add_chunk(i * blk, blk, y),
+                    buf)
+            rem = n - n_full * blk
+            if rem:
+                buf = add_chunk(n_full * blk, rem, buf)
+            return buf
 
         return PackedCounts(
             ad_p=scatter(self.ad_r, self.rows_r, self.cols_r),
@@ -328,15 +348,40 @@ class SparseCounts:
                                            jnp.dtype(promoted).name))
                 dtype = promoted
 
+        # the scatter runs in nnz chunks: TPU tiles scatter indices to
+        # (8, 128) lanes, so ONE (nnz, 2) int32 index tensor at 30M nnz
+        # pads 64x to ~14 GB of HLO temp (measured OOM on a 16 GB v5e);
+        # a 2^19-entry chunk keeps the padded temp at ~256 MB while the
+        # dense accumulators are donated through the loop.
+        block = _scatter_block()
+
         def scatter(ad_v, dp_v, rows, cols):
             if dtype == jnp.int8:  # saturate, never wrap, if unchecked
                 ad_v = jnp.clip(ad_v, 0, 127)
                 dp_v = jnp.clip(dp_v, 0, 127)
-            ad = jnp.zeros(self.shape, dtype).at[rows, cols].add(
-                ad_v.astype(dtype))
-            dp = jnp.zeros(self.shape, dtype).at[rows, cols].add(
-                dp_v.astype(dtype))
-            return ad, dp
+            n = rows.shape[0]
+            blk = min(block, n)
+            n_full = n // blk
+
+            def add_chunk(lo, m, bufs):
+                ad_b, dp_b = bufs
+                r = jax.lax.dynamic_slice_in_dim(rows, lo, m)
+                c = jax.lax.dynamic_slice_in_dim(cols, lo, m)
+                a = jax.lax.dynamic_slice_in_dim(ad_v, lo, m)
+                d = jax.lax.dynamic_slice_in_dim(dp_v, lo, m)
+                return (ad_b.at[r, c].add(a.astype(dtype)),
+                        dp_b.at[r, c].add(d.astype(dtype)))
+
+            bufs = (jnp.zeros(self.shape, dtype),
+                    jnp.zeros(self.shape, dtype))
+            if n_full:
+                bufs = jax.lax.fori_loop(
+                    0, n_full, lambda i, b: add_chunk(i * blk, blk, b),
+                    bufs)
+            rem = n - n_full * blk
+            if rem:
+                bufs = add_chunk(n_full * blk, rem, bufs)
+            return bufs
 
         place_after = False
         if sharding is not None:
@@ -503,6 +548,12 @@ Counts = (DenseCounts, SparseCounts, HybridCounts)
 # --------------------------------------------------------------------
 # compensated prefix-sum interval reduction (the COO ptr fast path)
 # --------------------------------------------------------------------
+
+def _scatter_block():
+    """nnz entries per device scatter call (VIREO_SCATTER_BLOCK lets
+    tests shrink it to exercise the chunk loop on small data)."""
+    return int(os.environ.get("VIREO_SCATTER_BLOCK", 1 << 19))
+
 
 def _two_sum(a, b):
     """Knuth TwoSum: s = fl(a+b) and the exact rounding error e."""
