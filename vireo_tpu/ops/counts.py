@@ -280,47 +280,9 @@ class SparseCounts:
         materializing a 1-byte-per-count matrix. Requires every count
         <= 15 (the ladder checks `max_count()` first) unless `clip`
         saturates larger values at 15 (the hybrid base layout, which
-        carries the clipped remainder in a COO residual). int8 adds
-        wrap mod 256, which is bit-exact for disjoint nibbles."""
-        from .packed import PackedCounts, _pick_blocks, PACK_MAX
-        V, C = self.shape
-        Vp, Cp2, bv, bc = _pick_blocks(V, C, 1024, 2048)
-
-        block = _scatter_block()  # chunked: see densify() on scatter-
-                                  # index padding (30M indices OOM)
-
-        @jax.jit
-        def scatter(vals, rows, cols):
-            v = vals.astype(jnp.int32)
-            if clip:
-                v = jnp.minimum(v, PACK_MAX)
-            shift = (cols.astype(jnp.int32) & 1) * 4
-            b = jnp.where(v << shift > 127, (v << shift) - 256,
-                          v << shift).astype(jnp.int8)
-            n = rows.shape[0]
-            blk = min(block, n)
-            n_full = n // blk
-
-            def add_chunk(lo, m, buf):
-                r = jax.lax.dynamic_slice_in_dim(rows, lo, m)
-                c = jax.lax.dynamic_slice_in_dim(cols, lo, m)
-                x = jax.lax.dynamic_slice_in_dim(b, lo, m)
-                return buf.at[r, c // 2].add(x)
-
-            buf = jnp.zeros((Vp, Cp2), jnp.int8)
-            if n_full:
-                buf = jax.lax.fori_loop(
-                    0, n_full, lambda i, y: add_chunk(i * blk, blk, y),
-                    buf)
-            rem = n - n_full * blk
-            if rem:
-                buf = add_chunk(n_full * blk, rem, buf)
-            return buf
-
-        return PackedCounts(
-            ad_p=scatter(self.ad_r, self.rows_r, self.cols_r),
-            dp_p=scatter(self.dp_r, self.rows_r, self.cols_r),
-            shape=(int(V), int(C)), block_v=bv, block_c=bc)
+        carries the clipped remainder in a COO residual)."""
+        return _pack_triplets(self.rows_r, self.cols_r, self.ad_r,
+                              self.dp_r, self.shape, clip=clip)
 
     def densify(self, dtype=None, check_overflow=True, sharding=None):
         """Scatter the COO triplets into dense (n_var, n_cell) arrays on
@@ -347,57 +309,9 @@ class SparseCounts:
                       "of %s; using %s" % (vmax, jnp.dtype(dtype).name,
                                            jnp.dtype(promoted).name))
                 dtype = promoted
-
-        # the scatter runs in nnz chunks: TPU tiles scatter indices to
-        # (8, 128) lanes, so ONE (nnz, 2) int32 index tensor at 30M nnz
-        # pads 64x to ~14 GB of HLO temp (measured OOM on a 16 GB v5e);
-        # a 2^19-entry chunk keeps the padded temp at ~256 MB while the
-        # dense accumulators are donated through the loop.
-        block = _scatter_block()
-
-        def scatter(ad_v, dp_v, rows, cols):
-            if dtype == jnp.int8:  # saturate, never wrap, if unchecked
-                ad_v = jnp.clip(ad_v, 0, 127)
-                dp_v = jnp.clip(dp_v, 0, 127)
-            n = rows.shape[0]
-            blk = min(block, n)
-            n_full = n // blk
-
-            def add_chunk(lo, m, bufs):
-                ad_b, dp_b = bufs
-                r = jax.lax.dynamic_slice_in_dim(rows, lo, m)
-                c = jax.lax.dynamic_slice_in_dim(cols, lo, m)
-                a = jax.lax.dynamic_slice_in_dim(ad_v, lo, m)
-                d = jax.lax.dynamic_slice_in_dim(dp_v, lo, m)
-                return (ad_b.at[r, c].add(a.astype(dtype)),
-                        dp_b.at[r, c].add(d.astype(dtype)))
-
-            bufs = (jnp.zeros(self.shape, dtype),
-                    jnp.zeros(self.shape, dtype))
-            if n_full:
-                bufs = jax.lax.fori_loop(
-                    0, n_full, lambda i, b: add_chunk(i * blk, blk, b),
-                    bufs)
-            rem = n - n_full * blk
-            if rem:
-                bufs = add_chunk(n_full * blk, rem, bufs)
-            return bufs
-
-        place_after = False
-        if sharding is not None:
-            try:
-                sharding.shard_shape(tuple(self.shape))
-                scatter = jax.jit(scatter,
-                                  out_shardings=(sharding, sharding))
-            except Exception:
-                # unevenly sharded dim: out_shardings requires exact
-                # divisibility, device_put pads internally
-                place_after = True
-        ad, dp = scatter(self.ad_r, self.dp_r, self.rows_r, self.cols_r)
-        if place_after:
-            ad = jax.device_put(ad, sharding)
-            dp = jax.device_put(dp, sharding)
-        return DenseCounts(ad, dp)
+        return _densify_triplets(self.rows_r, self.cols_r, self.ad_r,
+                                 self.dp_r, self.shape, dtype,
+                                 sharding=sharding)
 
 
 @jax.tree_util.register_dataclass
@@ -498,20 +412,13 @@ def _np_log_binom_coeff(dp, ad, max_val=700.0):
     return np.where(dp > 0, val, 0.0)
 
 
-def hybrid_from_coo(coo, cap, kind, sharding=None, pad_multiple=8192,
-                    base=None):
-    """Build HybridCounts from full-precision COO triplets.
-
-    `kind` selects the base layout: "int8" (cap 127) or "packed"
-    (cap 15). `sharding` places a dense base cell-sharded on the mesh
-    and replicates the (tiny) residual. A pre-built `base` (e.g. a
-    MeshPackedCounts over clipped counts) overrides the kind-derived
-    construction.
-    """
-    ar = np.asarray(jax.device_get(coo.ad_r), np.float64)
-    dr = np.asarray(jax.device_get(coo.dp_r), np.float64)
-    rr = np.asarray(jax.device_get(coo.rows_r))
-    cr = np.asarray(jax.device_get(coo.cols_r))
+def _hybrid_from_triplets(rows, cols, ad_v, dp_v, shape, cap, kind,
+                          sharding=None, pad_multiple=8192, base=None):
+    """Build HybridCounts from host COO triplets (see hybrid_from_coo)."""
+    ar = np.asarray(ad_v, np.float64)
+    dr = np.asarray(dp_v, np.float64)
+    rr = np.asarray(rows)
+    cr = np.asarray(cols)
     m = (ar > cap) | (dr > cap)          # padding (0 values) never hits
     at, dt = ar[m], dr[m]
     corr = float(np.sum(_np_log_binom_coeff(dt, at))
@@ -519,15 +426,15 @@ def hybrid_from_coo(coo, cap, kind, sharding=None, pad_multiple=8192,
                                               np.minimum(at, cap))))
     resid = _sparse_from_triplets(
         rr[m], cr[m], np.maximum(at - cap, 0.0), np.maximum(dt - cap, 0.0),
-        coo.shape, pad_multiple=pad_multiple)
+        shape, pad_multiple=pad_multiple)
 
     if base is not None:
         pass
     elif kind == "int8":
-        base = coo.densify(dtype=jnp.int8, check_overflow=False,
-                           sharding=sharding)
+        base = _densify_triplets(rr, cr, ar, dr, shape, jnp.int8,
+                                 sharding=sharding)
     elif kind == "packed":
-        base = coo.pack(clip=True)
+        base = _pack_triplets(rr, cr, ar, dr, shape, clip=True)
     else:
         raise ValueError("unknown hybrid base kind %r" % (kind,))
 
@@ -540,6 +447,23 @@ def hybrid_from_coo(coo, cap, kind, sharding=None, pad_multiple=8192,
     return HybridCounts(base=base, resid=resid,
                         binom_corr=jnp.asarray(corr, corr_dtype),
                         cap=int(cap))
+
+
+def hybrid_from_coo(coo, cap, kind, sharding=None, pad_multiple=8192,
+                    base=None):
+    """Build HybridCounts from full-precision COO triplets.
+
+    `kind` selects the base layout: "int8" (cap 127) or "packed"
+    (cap 15). `sharding` places a dense base cell-sharded on the mesh
+    and replicates the (tiny) residual. A pre-built `base` (e.g. a
+    MeshPackedCounts over clipped counts) overrides the kind-derived
+    construction.
+    """
+    return _hybrid_from_triplets(
+        jax.device_get(coo.rows_r), jax.device_get(coo.cols_r),
+        jax.device_get(coo.ad_r), jax.device_get(coo.dp_r),
+        coo.shape, cap, kind, sharding=sharding,
+        pad_multiple=pad_multiple, base=base)
 
 
 Counts = (DenseCounts, SparseCounts, HybridCounts)
@@ -673,6 +597,51 @@ def _round_up(n, m):
     return int(_pymath.ceil(max(n, 1) / m) * m)
 
 
+def _host_union_triplets(AD, DP):
+    """Aligned host COO triplets over the union nonzero pattern of AD
+    and DP: (rows int64, cols int64, ad_vals, dp_vals), canonically
+    (row, col)-sorted with no duplicates.
+
+    The union pattern comes from one indicator-matrix addition in
+    scipy's C merge kernel; values align to it via a vectorized
+    searchsorted over flattened (row * C + col) keys (both CSRs are
+    canonical, so the key sequences are already sorted). The previous
+    per-entry fancy-indexing lookup was ~26 s at 30M nnz; this path
+    is a few seconds.
+    """
+    import scipy.sparse as sp
+    A = sp.csr_matrix(AD)
+    D = sp.csr_matrix(DP)
+    assert A.shape == D.shape, "AD and DP shapes differ"
+    A.sum_duplicates()
+    D.sum_duplicates()
+    C = int(A.shape[1])
+    if np.array_equal(A.indptr, D.indptr) and \
+            np.array_equal(A.indices, D.indices):
+        rows = np.repeat(np.arange(A.shape[0], dtype=np.int64),
+                         np.diff(A.indptr))
+        return rows, A.indices.astype(np.int64), A.data, D.data
+
+    Ia = A.copy()
+    Ia.data = np.ones_like(Ia.data)
+    Id = D.copy()
+    Id.data = np.ones_like(Id.data)
+    U = Ia + Id                     # canonical CSR over the union
+    rows = np.repeat(np.arange(U.shape[0], dtype=np.int64),
+                     np.diff(U.indptr))
+    cols = U.indices.astype(np.int64)
+    key_u = rows * C + cols         # ascending (row-major canonical)
+
+    def align(M):
+        Mc = M.tocoo()              # canonical -> sorted keys
+        key = Mc.row.astype(np.int64) * C + Mc.col
+        out = np.zeros(len(key_u), dtype=np.float64)
+        out[np.searchsorted(key_u, key)] = Mc.data
+        return out
+
+    return rows, cols, align(A), align(D)
+
+
 def sparse_counts(AD, DP, dtype=jnp.float32, pad_multiple=8192):
     """Build SparseCounts over the union nonzero pattern of AD and DP.
 
@@ -684,25 +653,9 @@ def sparse_counts(AD, DP, dtype=jnp.float32, pad_multiple=8192):
     compensated prefix-sum fast path (an escape hatch for auditing the
     reduction numerics; ~1.8x slower on TPU).
     """
-    import scipy.sparse as sp
-    A = sp.coo_matrix(AD) if not sp.issparse(AD) else AD.tocoo()
-    D = sp.coo_matrix(DP) if not sp.issparse(DP) else DP.tocoo()
-    assert A.shape == D.shape, "AD and DP shapes differ"
-    n_var, n_cell = A.shape
-
-    # union pattern via CSR addition of indicator matrices
-    Da = sp.csr_matrix((np.ones_like(A.data), (A.row, A.col)), shape=A.shape)
-    Dd = sp.csr_matrix((np.ones_like(D.data), (D.row, D.col)), shape=D.shape)
-    U = (Da + Dd).tocoo()
-    rows, cols = U.row.astype(np.int64), U.col.astype(np.int64)
-
-    A_csr = sp.csr_matrix(A)
-    D_csr = sp.csr_matrix(D)
-    ad_vals = np.asarray(A_csr[rows, cols]).reshape(-1)
-    dp_vals = np.asarray(D_csr[rows, cols]).reshape(-1)
-
+    rows, cols, ad_vals, dp_vals = _host_union_triplets(AD, DP)
     return _sparse_from_triplets(rows, cols, ad_vals, dp_vals,
-                                 (n_var, n_cell), dtype=dtype,
+                                 tuple(np.shape(AD)), dtype=dtype,
                                  pad_multiple=pad_multiple)
 
 
@@ -747,6 +700,142 @@ def _sparse_from_triplets(rows, cols, ad_vals, dp_vals, shape,
         row_ptr=None if exact else jnp.asarray(row_ptr, jnp.int32),
         col_ptr=None if exact else jnp.asarray(col_ptr, jnp.int32),
     )
+
+
+def _triplet_device_args(rows, cols, ad_v, dp_v, val_dtype):
+    """Cast host triplets to transfer-efficient dtypes before moving
+    them to device (int8 values are 30 MB instead of 240 MB at 30M nnz
+    — the tunnel transfer is a real cost)."""
+    rows = jnp.asarray(np.asarray(rows), jnp.int32)
+    cols = jnp.asarray(np.asarray(cols), jnp.int32)
+    ad_v = jnp.asarray(np.asarray(ad_v), val_dtype)
+    dp_v = jnp.asarray(np.asarray(dp_v), val_dtype)
+    return rows, cols, ad_v, dp_v
+
+
+def _densify_triplets(rows, cols, ad_v, dp_v, shape, dtype,
+                      sharding=None):
+    """Chunked device scatter of COO triplets into dense (V, C) arrays.
+
+    The scatter runs in nnz chunks: TPU tiles scatter indices to
+    (8, 128) lanes, so ONE (nnz, 2) int32 index tensor at 30M nnz pads
+    64x to ~14 GB of HLO temp (measured OOM on a 16 GB v5e); a
+    2^19-entry chunk keeps the padded temp at ~256 MB while the dense
+    accumulators are carried through the loop. int8 targets clip
+    host-visible values at 127 (saturate, never wrap).
+    """
+    shape = tuple(int(s) for s in shape)
+    # move values in the smallest exact transfer dtype
+    if not isinstance(ad_v, jax.Array):
+        if dtype == jnp.int8:
+            ad_v = np.minimum(np.asarray(ad_v), 127)
+            dp_v = np.minimum(np.asarray(dp_v), 127)
+            transfer = jnp.int8
+        else:
+            transfer = jnp.float32 if dtype in (jnp.bfloat16,
+                                                jnp.float32) \
+                else jnp.float64
+        rows, cols, ad_v, dp_v = _triplet_device_args(
+            rows, cols, ad_v, dp_v,
+            jnp.int8 if dtype == jnp.int8 else transfer)
+    block = _scatter_block()
+
+    def scatter(ad_v, dp_v, rows, cols):
+        if dtype == jnp.int8 and ad_v.dtype != jnp.int8:
+            ad_v = jnp.clip(ad_v, 0, 127)
+            dp_v = jnp.clip(dp_v, 0, 127)
+        n = rows.shape[0]
+        blk = min(block, n)
+        n_full = n // blk
+
+        def add_chunk(lo, m, bufs):
+            ad_b, dp_b = bufs
+            r = jax.lax.dynamic_slice_in_dim(rows, lo, m)
+            c = jax.lax.dynamic_slice_in_dim(cols, lo, m)
+            a = jax.lax.dynamic_slice_in_dim(ad_v, lo, m)
+            d = jax.lax.dynamic_slice_in_dim(dp_v, lo, m)
+            return (ad_b.at[r, c].add(a.astype(dtype)),
+                    dp_b.at[r, c].add(d.astype(dtype)))
+
+        bufs = (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+        if n_full:
+            bufs = jax.lax.fori_loop(
+                0, n_full, lambda i, b: add_chunk(i * blk, blk, b),
+                bufs)
+        rem = n - n_full * blk
+        if rem:
+            bufs = add_chunk(n_full * blk, rem, bufs)
+        return bufs
+
+    place_after = False
+    if sharding is not None:
+        try:
+            sharding.shard_shape(shape)
+            scatter = jax.jit(scatter,
+                              out_shardings=(sharding, sharding))
+        except Exception:
+            # unevenly sharded dim: out_shardings requires exact
+            # divisibility, device_put pads internally
+            place_after = True
+    ad, dp = scatter(ad_v, dp_v, rows, cols)
+    if place_after:
+        ad = jax.device_put(ad, sharding)
+        dp = jax.device_put(dp, sharding)
+    return DenseCounts(ad, dp)
+
+
+def _pack_triplets(rows, cols, ad_v, dp_v, shape, clip=False):
+    """Chunked device scatter of COO triplets into the 4-bit
+    nibble-packed layout (int8 adds wrap mod 256, bit-exact for
+    disjoint nibbles; see _densify_triplets for the chunking)."""
+    from .packed import PackedCounts, _pick_blocks, PACK_MAX
+    V, C = (int(s) for s in shape)
+    Vp, Cp2, bv, bc = _pick_blocks(V, C, 1024, 2048)
+    if not isinstance(ad_v, jax.Array):
+        if clip:
+            ad_v = np.minimum(np.asarray(ad_v), PACK_MAX)
+            dp_v = np.minimum(np.asarray(dp_v), PACK_MAX)
+        rows, cols, ad_v, dp_v = _triplet_device_args(
+            rows, cols, ad_v, dp_v, jnp.int8)
+        clip = False
+    block = _scatter_block()
+
+    @jax.jit
+    def scatter(vals, rows, cols):
+        v = vals.astype(jnp.int32)
+        if clip:
+            v = jnp.minimum(v, PACK_MAX)
+        shift = (cols & 1) * 4
+        b = jnp.where(v << shift > 127, (v << shift) - 256,
+                      v << shift).astype(jnp.int8)
+        n = rows.shape[0]
+        blk = min(block, n)
+        n_full = n // blk
+
+        def add_chunk(lo, m, buf):
+            r = jax.lax.dynamic_slice_in_dim(rows, lo, m)
+            c = jax.lax.dynamic_slice_in_dim(cols, lo, m)
+            x = jax.lax.dynamic_slice_in_dim(b, lo, m)
+            return buf.at[r, c // 2].add(x)
+
+        buf = jnp.zeros((Vp, Cp2), jnp.int8)
+        if n_full:
+            buf = jax.lax.fori_loop(
+                0, n_full, lambda i, y: add_chunk(i * blk, blk, y),
+                buf)
+        rem = n - n_full * blk
+        if rem:
+            buf = add_chunk(n_full * blk, rem, buf)
+        return buf
+
+    rows = jnp.asarray(np.asarray(rows), jnp.int32) \
+        if not isinstance(rows, jax.Array) else rows
+    cols = jnp.asarray(np.asarray(cols), jnp.int32) \
+        if not isinstance(cols, jax.Array) else cols
+    return PackedCounts(
+        ad_p=scatter(ad_v, rows, cols.astype(jnp.int32)),
+        dp_p=scatter(dp_v, rows, cols.astype(jnp.int32)),
+        shape=(V, C), block_v=bv, block_c=bc)
 
 
 def exact_count_dtype(vmax):
@@ -824,22 +913,26 @@ def counts_from_scipy(AD, DP, dtype=jnp.float32, max_dense_elems=64_000_000,
                             jax.device_put(c.dp, sharding))
         return c
 
-    vmax = max(_scipy_max(AD), _scipy_max(DP))
+    # ONE host alignment pass; each rung below builds only the device
+    # layout it needs from these triplets (the dual-sorted COO with
+    # segment pointers — ~1 GB of device arrays and two 30M lexsorts —
+    # is only constructed when the pure-COO fallback is actually taken)
+    rows, cols, ad_v, dp_v = _host_union_triplets(AD, DP)
+    vmax = float(max(ad_v.max() if len(ad_v) else 0.0,
+                     dp_v.max() if len(dp_v) else 0.0))
+    shape = tuple(int(s) for s in AD.shape)
     dense_dtype = exact_count_dtype(vmax)
     budget = dense_budget if dense_budget is not None \
         else device_dense_budget()
     need = 2 * n_elems * jnp.dtype(dense_dtype).itemsize
-    coo = sparse_counts(AD, DP, dtype=dtype)
     if need <= budget:
         if verbose:
             print("[vireo] %dx%d counts (max %.0f) densified on device "
                   "as %s (%.1f GiB)" % (AD.shape[0], AD.shape[1], vmax,
                                         jnp.dtype(dense_dtype).name,
                                         need / 2**30))
-        dense = coo.densify(dtype=dense_dtype, check_overflow=False,
-                            sharding=sharding)
-        del coo  # free the COO triplets before the fit allocates
-        return dense
+        return _densify_triplets(rows, cols, ad_v, dp_v, shape,
+                                 dense_dtype, sharding=sharding)
     no_hybrid = os.environ.get("VIREO_NO_HYBRID", "0") == "1"
     # hybrid rung: int8 base clipped at 127 + COO residual of the rare
     # overflow deltas — dense-rung speed at ANY count magnitude. This
@@ -851,9 +944,8 @@ def counts_from_scipy(AD, DP, dtype=jnp.float32, max_dense_elems=64_000_000,
             print("[vireo] %dx%d counts (max %.0f) split into int8 base "
                   "+ overflow residual (%.1f GiB dense)"
                   % (AD.shape[0], AD.shape[1], vmax, 2 * n_elems / 2**30))
-        h = hybrid_from_coo(coo, 127, "int8", sharding=sharding)
-        del coo
-        return h
+        return _hybrid_from_triplets(rows, cols, ad_v, dp_v, shape,
+                                     127, "int8", sharding=sharding)
     # capacity rung: 4-bit nibble packing halves the dense footprint
     # whenever every count fits a nibble (<= 15). ~7% slower per pass
     # than int8 (MXU-lane-floor-bound either way) but keeps matrices
@@ -870,11 +962,8 @@ def counts_from_scipy(AD, DP, dtype=jnp.float32, max_dense_elems=64_000_000,
         if sharding is not None and sharding.mesh.devices.size > 1:
             from .packed import pack_scipy_sharded
             axis = next(a for a in sharding.spec if a is not None)
-            del coo
             return pack_scipy_sharded(AD, DP, sharding.mesh, axis=axis)
-        packed = coo.pack()
-        del coo
-        return packed
+        return _pack_triplets(rows, cols, ad_v, dp_v, shape)
     # packed hybrid rung: nibble base clipped at 15 + overflow residual
     # — the half-footprint capacity rung without the count-magnitude
     # restriction.
@@ -891,12 +980,12 @@ def counts_from_scipy(AD, DP, dtype=jnp.float32, max_dense_elems=64_000_000,
             base = pack_scipy_sharded(_scipy_clip(AD, PACK_MAX),
                                       _scipy_clip(DP, PACK_MAX),
                                       sharding.mesh, axis=axis)
-        h = hybrid_from_coo(coo, PACK_MAX, "packed", sharding=sharding,
-                            base=base)
-        del coo
-        return h
+        return _hybrid_from_triplets(rows, cols, ad_v, dp_v, shape,
+                                     PACK_MAX, "packed",
+                                     sharding=sharding, base=base)
     if verbose:
         print("[vireo] %dx%d counts too large for dense HBM layout "
               "(%.1f GiB > budget %.1f GiB); using COO segment-sum"
               % (AD.shape[0], AD.shape[1], need / 2**30, budget / 2**30))
-    return coo
+    return _sparse_from_triplets(rows, cols, ad_v, dp_v, shape,
+                                 dtype=dtype)
