@@ -163,3 +163,24 @@ def test_checkpoint_fingerprint_refuses_foreign_dir(small_data, tmp_path):
     with pytest.raises(ValueError, match="DIFFERENT run"):
         vireo_wrap(AD, DP, n_init=5, random_seed=7, checkpoint_dir=ck,
                    **kw)
+
+
+def test_device_init_runs_and_is_deterministic(small_data, monkeypatch):
+    """VIREO_DEVICE_INIT=1 draws restart inits on device (no host
+    np.random upload); same seed -> same result, and quality matches
+    the host-init path on well-separated data."""
+    from vireo_tpu.engine.wrap import vireo_wrap
+    AD, DP, donor = small_data
+
+    monkeypatch.setenv("VIREO_DEVICE_INIT", "1")
+    r1 = vireo_wrap(AD, DP, n_donor=3, n_init=4, random_seed=7,
+                    check_doublet=False, verbose=False, mesh=None)
+    r2 = vireo_wrap(AD, DP, n_donor=3, n_init=4, random_seed=7,
+                    check_doublet=False, verbose=False, mesh=None)
+    np.testing.assert_array_equal(r1["ID_prob"], r2["ID_prob"])
+    assert np.isfinite(r1["LB_doublet"])
+    # recovered grouping agrees with the planted donors up to relabel
+    from vireo_tpu.ops.matching import get_confusion
+    pred = np.argmax(r1["ID_prob"], axis=1)
+    conf, _, _ = get_confusion(pred, donor)
+    assert conf.max(axis=0).sum() / conf.sum() > 0.9

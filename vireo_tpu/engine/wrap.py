@@ -70,6 +70,44 @@ def _as_counts(AD, DP, dtype, mesh=None, verbose=False):
                              verbose=verbose)
 
 
+def _device_batched_init(cfg, n_init, seed, GT_prior_use, dtype):
+    """Draw the n_init restart states ON DEVICE (jax PRNG).
+
+    Opt-in via VIREO_DEVICE_INIT=1: skips the reference-parity host
+    np.random draws and their ~250 MB host->device upload at the
+    100k-cell scale (the host link is the warm phase's main cost on a
+    remote accelerator). Deterministic in `seed`, but NOT stream-
+    compatible with the reference's np.random inits — golden seeded
+    runs must keep the default host path.
+    """
+    import jax.random as jr
+    from ..models.vireo import VireoState
+    L, G = cfg.theta_len, cfg.n_GT
+    beta_mu = jnp.broadcast_to(
+        jnp.asarray(np.ones((L, G)) * np.linspace(0.01, 0.99, G)[None, :],
+                    dtype), (n_init, L, G))
+    beta_sum = jnp.full((n_init, L, G), 50.0, dtype)
+
+    @jax.jit
+    def draw(key):
+        k1, k2 = jr.split(key)
+        idp = jr.uniform(k1, (n_init, cfg.n_cell, cfg.n_donor), dtype)
+        idp = idp / idp.sum(-1, keepdims=True)
+        if GT_prior_use is None:
+            gtp = jr.uniform(k2, (n_init, cfg.n_var, cfg.n_donor,
+                                  cfg.n_GT), dtype)
+        else:
+            gtp = jnp.broadcast_to(jnp.asarray(GT_prior_use, dtype),
+                                   (n_init, cfg.n_var, cfg.n_donor,
+                                    cfg.n_GT))
+        gtp = gtp / gtp.sum(-1, keepdims=True)
+        return idp, gtp
+
+    idp, gtp = draw(jr.PRNGKey(0 if seed is None else int(seed)))
+    return VireoState(beta_mu=beta_mu, beta_sum=beta_sum, gt_prob=gtp,
+                      id_prob=idp)
+
+
 def _model_from_state(counts, cfg_kwargs, n_donor, learn_GT, state,
                       GT_prior_use, dtype):
     """Build a Vireo wrapper seeded with an existing state (no RNG draws)."""
@@ -174,6 +212,8 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
         "learn_GT": int(bool(learn_GT)),
         "n_extra_donor": int(n_extra_donor),
         "has_GT_prior": int(GT_prior is not None),
+        "device_init": int(os.environ.get("VIREO_DEVICE_INIT",
+                                          "0") == "1"),
     }
     if resume is not None:
         ckpt.check_fingerprint(checkpoint_dir, run_fp)
@@ -204,9 +244,14 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
         ckpt.load_rng(checkpoint_dir, "rng_0")
     else:
         with phase("warm_restarts"):
-            states = [init_state(cfg, GT_prob_init=GT_prior_use, rng=rng,
-                                 dtype=dtype) for _ in range(n_init)]
-            batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+            if os.environ.get("VIREO_DEVICE_INIT", "0") == "1":
+                batched = _device_batched_init(cfg, n_init, random_seed,
+                                               GT_prior_use, dtype)
+            else:
+                states = [init_state(cfg, GT_prob_init=GT_prior_use,
+                                     rng=rng, dtype=dtype)
+                          for _ in range(n_init)]
+                batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
             if mesh is not None and isinstance(counts, DenseCounts):
                 # place the (R, C, K) assignment batch cell-sharded next
                 # to the data; GT/theta stay replicated
@@ -225,8 +270,9 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
             elbo_all = np.asarray(jax.device_get(warm.elbo_ref)) \
                 + binom_coeff
             best = int(np.argmax(elbo_all))
-            best_state = jax.tree.map(
-                lambda x: jnp.asarray(np.asarray(x)[best]), warm.state)
+            # index on device: fetching the whole (R, C, K) restart
+            # batch to host costs ~250 MB over a remote-device link
+            best_state = jax.tree.map(lambda x: x[best], warm.state)
         if checkpoint_dir:
             ckpt.save_state(checkpoint_dir, 0, best_state,
                             extra={"elbo_all": elbo_all},

@@ -9,6 +9,7 @@ core model.
 """
 
 import dataclasses
+import functools
 import itertools
 
 import numpy as np
@@ -76,6 +77,23 @@ def doublet_loglik(counts, gt_both, beta_mu_both, beta_sum_both):
     of fusing into the matmul read."""
     Wfa, Wfd = _doublet_weights(gt_both, beta_mu_both, beta_sum_both)
     return counts.cell_loglik(Wfa, Wfd)
+
+
+@functools.partial(jax.jit, static_argnames=("n_donor",))
+def _doublet_posterior(counts, gt_both, beta_mu_both, beta_sum_both,
+                       log_prior_row, n_donor):
+    """E-step posterior + doublet LLR entirely on device.
+
+    The round-trip variant (fetch the (C, K_exp) loglik, push a
+    (C, K_exp) log prior, fetch the softmax) moves ~220 MB over the
+    host link at the 100k-cell north star; this fetches only the
+    posterior once and the (C,) LLR."""
+    Wfa, Wfd = _doublet_weights(gt_both, beta_mu_both, beta_sum_both)
+    logLik = counts.cell_loglik(Wfa, Wfd)
+    post = softmax_from_loglik(logLik, log_prior_row[None, :])
+    llr = (jnp.max(logLik[:, n_donor:], axis=1)
+           - jnp.max(logLik[:, :n_donor], axis=1))
+    return post, llr
 
 
 def _fused_doublet_mode(counts, vobj):
@@ -159,31 +177,48 @@ def predict_doublet(vobj, AD, DP=None, update_GT=True, update_ID=True,
     if doublet_rate_prior is None:
         doublet_rate_prior = min(0.5, n_cell / 100000)
 
-    id_prior = np.exp(np.asarray(vobj.priors.id_log))
-    id_prior = np.broadcast_to(id_prior, (n_cell, K))
-    prior_both = np.concatenate(
-        [id_prior * (1 - doublet_rate_prior),
-         np.full((n_cell, n_pair), doublet_rate_prior / n_pair)], axis=1)
+    id_prior_np = np.exp(np.asarray(vobj.priors.id_log))
 
     fused = _fused_doublet_mode(counts, vobj)
     S1 = SS = None
     if fused is not None:
         # single HBM pass: E-step + singlet GT stats from the kernel
+        prior_row = np.concatenate(
+            [id_prior_np[0] * (1 - doublet_rate_prior),
+             np.full(n_pair, doublet_rate_prior / n_pair)])
         S1, SS, ID_prob_both, logLik_ID = fused_doublet_estep(
             counts, gt_both, mu_both, sum_both,
-            np.log(prior_both[0]), K,
+            np.log(prior_row), K,
             interpret=(fused == "interpret"))
         ID_prob_both = np.asarray(ID_prob_both)
         logLik_ID = np.asarray(logLik_ID)
+        logLik_ratio = (logLik_ID[:, K:].max(axis=1)
+                        - logLik_ID[:, :K].max(axis=1))
+    elif id_prior_np.shape[0] == 1:
+        # row-broadcast prior (the standard configuration): posterior
+        # and LLR stay on device, same f64 log -> dtype cast as the
+        # matrix path below (bit-identical results)
+        prior_row = np.concatenate(
+            [id_prior_np[0] * (1 - doublet_rate_prior),
+             np.full(n_pair, doublet_rate_prior / n_pair)])
+        post, llr = _doublet_posterior(
+            counts, gt_both, mu_both, sum_both,
+            jnp.asarray(np.log(prior_row), vobj.dtype), K)
+        ID_prob_both = np.asarray(post)
+        logLik_ratio = np.asarray(llr)
     else:
+        id_prior = np.broadcast_to(id_prior_np, (n_cell, K))
+        prior_both = np.concatenate(
+            [id_prior * (1 - doublet_rate_prior),
+             np.full((n_cell, n_pair), doublet_rate_prior / n_pair)],
+            axis=1)
         logLik_ID = np.asarray(
             doublet_loglik(counts, gt_both, mu_both, sum_both))
         ID_prob_both = np.asarray(softmax_from_loglik(
             jnp.asarray(logLik_ID), jnp.asarray(np.log(prior_both),
                                                 logLik_ID.dtype)))
-
-    logLik_ratio = (logLik_ID[:, K:].max(axis=1)
-                    - logLik_ID[:, :K].max(axis=1))
+        logLik_ratio = (logLik_ID[:, K:].max(axis=1)
+                        - logLik_ID[:, :K].max(axis=1))
 
     if update_ID:
         vobj.ID_prob = ID_prob_both[:, :K]
