@@ -53,7 +53,9 @@ def worker(pid, nproc):
     import numpy as np
     from vireo_tpu.parallel.mesh import (initialize_distributed, make_mesh,
                                          build_cell_sharded_coo,
-                                         sharded_fit_vb)
+                                         build_cell_sharded_dense,
+                                         sharded_fit_vb,
+                                         sharded_fit_vb_dense)
     from vireo_tpu.models.vireo import (VireoConfig, init_state,
                                         default_priors)
     from vireo_tpu.sim.synth import synth_pool_counts
@@ -67,7 +69,12 @@ def worker(pid, nproc):
     n_cell = CELLS_PER_PROC * nproc              # weak scaling
     d = synth_pool_counts(n_var=N_VAR, n_cell=n_cell, n_donor=N_DONOR,
                           doublet_rate=0.05, density=DENSITY, seed=0)
-    arrays, meta = build_cell_sharded_coo(d["AD"], d["DP"], n_dev)
+    layout = os.environ.get("WS_LAYOUT", "coo")
+    if layout == "dense":
+        ad, dp, meta = build_cell_sharded_dense(d["AD"], d["DP"], n_dev,
+                                                dtype=np.float32)
+    else:
+        arrays, meta = build_cell_sharded_coo(d["AD"], d["DP"], n_dev)
     cfg = VireoConfig(n_var=N_VAR, n_cell=meta["n_cell_pad"],
                       n_donor=N_DONOR)
     rng = np.random.RandomState(1)
@@ -75,8 +82,14 @@ def worker(pid, nproc):
     priors = default_priors(cfg, dtype=np.float32)
     mesh = make_mesh()
 
-    run = lambda it: sharded_fit_vb(mesh, arrays, meta, state, priors,
-                                    cfg, min_iter=it, max_iter=it)
+    if layout == "dense":
+        run = lambda it: sharded_fit_vb_dense(
+            mesh, ad, dp, meta, state, priors, cfg,
+            min_iter=it, max_iter=it)
+    else:
+        run = lambda it: sharded_fit_vb(mesh, arrays, meta, state,
+                                        priors, cfg, min_iter=it,
+                                        max_iter=it)
     jax.block_until_ready(run(1).elbo_final)         # compile 1-iter
     jax.block_until_ready(run(N_ITER).elbo_final)    # compile N-iter
     dt = float("inf")
@@ -96,7 +109,8 @@ def worker(pid, nproc):
         print(json.dumps({
             "n_processes": nproc,
             "n_cell_global": n_cell,
-            "nnz_per_proc": int(meta["nnz_pad"]),
+            "layout": layout,
+            "nnz_per_proc": int(meta.get("nnz_pad", -1)),
             "fit_s": round(dt, 4),
             "iter_ms": round(1e3 * (dt - dt1) / (N_ITER - 1), 3),
             "elbo": float(r.elbo_final),

@@ -189,3 +189,27 @@ def test_wrap_pads_uneven_cells_on_mesh(small_data):
     np.testing.assert_allclose(
         res["ID_prob"].sum(1) + res["doublet_prob"].sum(1), 1.0,
         rtol=1e-4)
+
+
+@pytest.mark.parametrize("cap,kind", [(127, "int8"), (PACK_MAX, "packed")])
+def test_var_subset_matches_dense(heavy_data, cap, kind):
+    """var_subset keeps contractions and the binomial correction exact
+    without densifying the full matrix."""
+    AD, DP = heavy_data
+    h, _ = _hybrid(heavy_data, cap, kind)
+    idx = np.array([0, 3, 5, 7, 11, 13, 30, 49])
+    hs = h.var_subset(idx)
+    ref = dense_counts(AD.toarray()[idx], DP.toarray()[idx],
+                       dtype=jnp.float64)
+    rng = np.random.RandomState(2)
+    W = jnp.asarray(rng.rand(ref.n_cell, 4))
+    S1h, SSh = hs.suff_stats(W)
+    S1r, SSr = ref.suff_stats(W)
+    np.testing.assert_allclose(np.asarray(S1h), np.asarray(S1r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(SSh), np.asarray(SSr),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(float(hs.binom_coeff_sum()),
+                               float(ref.binom_coeff_sum()), rtol=1e-8)
+    d = hs.densify()
+    np.testing.assert_allclose(np.asarray(d.ad), AD.toarray()[idx])

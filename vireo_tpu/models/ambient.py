@@ -120,15 +120,28 @@ def predit_ambient(vobj, AD, DP, nproc=None, min_ELBO_gain=None, rng=None):
     print("[vireo] %d out %d SNPs selected for ambient RNA detection: "
           "ELBO_gain > %.1f" % (snp_idx.sum(), len(snp_idx), min_ELBO_gain))
 
-    dense = counts.densify()
-    ad_sel = np.asarray(dense.ad)[snp_idx, :].T   # (n_cell, n_sel)
-    dp_sel = np.asarray(dense.dp)[snp_idx, :].T
+    # subset variants BEFORE densifying: at the 100k-cell scale the
+    # full dense matrix is gigabytes (or, on the hybrid/packed rungs,
+    # exceeds the f32 HBM budget outright); the selected-SNP block is
+    # small
+    sel = np.where(snp_idx)[0]
+    if hasattr(counts, "var_subset"):
+        dense = counts.var_subset(sel).densify()
+        ad_sel = np.asarray(dense.ad, np.float64).T  # (n_cell, n_sel)
+        dp_sel = np.asarray(dense.dp, np.float64).T
+    else:                                  # pure-COO fallback layout
+        dense = counts.densify()
+        ad_sel = np.asarray(dense.ad)[snp_idx, :].astype(np.float64).T
+        dp_sel = np.asarray(dense.dp)[snp_idx, :].astype(np.float64).T
     theta_sel = theta_mat[snp_idx, :]
 
     K = theta_mat.shape[1]
     psi0 = rng.dirichlet([1.0] * K, size=counts.n_cell)
 
-    dtype = np.asarray(dense.ad).dtype
+    # the per-cell EM is float math; integer count layouts (int8/
+    # nibble) must not leak their storage dtype into it
+    dtype = np.float64 if np.asarray(dense.ad).dtype == np.float64 \
+        else np.float32
     Psi, Psi_var, Psi_llr = fit_em_ambient_batch(
         jnp.asarray(ad_sel, dtype), jnp.asarray(dp_sel, dtype),
         jnp.asarray(theta_sel, dtype), jnp.asarray(psi0, dtype))

@@ -394,8 +394,45 @@ class HybridCounts:
                            add_resid(b.dp, r.dp_r))
 
     def var_subset(self, idx):
-        """Host-side path (GTbarcode / variant_select on small data)."""
-        return self.densify().var_subset(idx)
+        """Subset variants WITHOUT densifying the full matrix: the base
+        layout subsets on device; the (tiny) residual is re-filtered on
+        host. The binomial correction is recomputed from the kept
+        entries (true value = base + delta)."""
+        idx = np.asarray(idx)
+        if idx.dtype == bool:
+            idx = np.where(idx)[0]
+        base = self.base.var_subset(jnp.asarray(idx))
+        r = self.resid
+        rows = np.asarray(jax.device_get(r.rows_r))
+        cols = np.asarray(jax.device_get(r.cols_r))
+        da = np.asarray(jax.device_get(r.ad_r), np.float64)
+        dd = np.asarray(jax.device_get(r.dp_r), np.float64)
+        pos = np.full(self.n_var, -1, np.int64)
+        pos[idx] = np.arange(len(idx))
+        keep = (pos[rows] >= 0) & ((da > 0) | (dd > 0))  # drop padding
+        new_rows = pos[rows[keep]]
+        new_cols = cols[keep]
+        da, dd = da[keep], dd[keep]
+
+        # true = clipped base value + delta at each kept position
+        bd = base.densify() if not isinstance(base, DenseCounts) else base
+        ba = np.asarray(jax.device_get(
+            bd.ad[jnp.asarray(new_rows), jnp.asarray(new_cols)]),
+            np.float64)
+        bb = np.asarray(jax.device_get(
+            bd.dp[jnp.asarray(new_rows), jnp.asarray(new_cols)]),
+            np.float64)
+        corr = float(np.sum(_np_log_binom_coeff(bb + dd, ba + da))
+                     - np.sum(_np_log_binom_coeff(bb, ba)))
+
+        resid = _sparse_from_triplets(
+            new_rows, new_cols, da, dd, (len(idx), self.n_cell),
+            pad_multiple=1024)
+        corr_dtype = jnp.float64 if jax.config.jax_enable_x64 \
+            else jnp.float32
+        return HybridCounts(base=base, resid=resid,
+                            binom_corr=jnp.asarray(corr, corr_dtype),
+                            cap=self.cap)
 
     def cell_slice(self, start, stop):
         return self.densify().cell_slice(start, stop)

@@ -272,6 +272,81 @@ def build_cell_sharded_coo(AD, DP, n_shards, dtype=np.float32,
     return arrays, meta
 
 
+def build_cell_sharded_dense(AD, DP, n_shards, dtype=np.int8):
+    """Host-side: split cells into `n_shards` equal (padded) ranges and
+    densify each range into the target dtype — the dense analog of
+    `build_cell_sharded_coo`, for multi-process runs where the
+    per-process block fits memory. int8 requires max count <= 127 (the
+    caller checks; values clip to saturate).
+
+    Returns (ad, dp, meta): (n_var, n_cell_pad) host arrays whose even
+    cell sharding gives each process exactly its own cell range.
+    """
+    import scipy.sparse as sp
+    A = sp.csc_matrix(AD)
+    D = sp.csc_matrix(DP)
+    n_var, n_cell = A.shape
+    c_local = -(-n_cell // n_shards)
+    n_cell_pad = c_local * n_shards
+
+    ad = np.zeros((n_var, n_cell_pad), dtype)
+    dp = np.zeros((n_var, n_cell_pad), dtype)
+    clip = 127 if np.dtype(dtype) == np.int8 else None
+    for s in range(n_shards):
+        lo, hi = s * c_local, min((s + 1) * c_local, n_cell)
+        a = np.asarray(A[:, lo:hi].todense())
+        d = np.asarray(D[:, lo:hi].todense())
+        if clip:
+            a = np.minimum(a, clip)
+            d = np.minimum(d, clip)
+        ad[:, lo:hi] = a
+        dp[:, lo:hi] = d
+    meta = dict(n_var=n_var, n_cell=n_cell, n_cell_pad=n_cell_pad,
+                c_local=c_local, n_shards=n_shards)
+    return ad, dp, meta
+
+
+def sharded_fit_vb_dense(mesh, ad, dp, meta, state, priors, cfg,
+                         **fit_kwargs):
+    """shard_map the full VB fit over cell-sharded DENSE blocks — the
+    multi-process dense path (each process owns a contiguous cell
+    range as an MXU-ready dense block; variant-side statistics psum
+    over the mesh axis exactly like the COO path, ~n_var * K floats
+    per iteration).
+
+    `state.id_prob` must be (n_cell_pad, K); padded cells carry zero
+    counts and contribute exactly zero to the data terms.
+    """
+    from jax import shard_map
+
+    axis = CELL_AXIS
+    state_spec = dataclasses.replace(
+        state,
+        id_prob=P(axis, None), gt_prob=P(), beta_mu=P(), beta_sum=P())
+    in_specs = (P(None, axis), P(None, axis), state_spec,
+                jax.tree.map(lambda _: P(), priors))
+    out_specs = FitResult(
+        state=state_spec,
+        elbo_ref=P(), elbo_final=P(), n_iter=P(), elbo_trace=P())
+
+    def run(ad_l, dp_l, st, pr):
+        sc = ShardedCounts(local=DenseCounts(ad_l, dp_l), axis=axis)
+        return fit_vb(sc, st, pr, cfg, axis_name=axis, **fit_kwargs)
+
+    fn = shard_map(run, mesh=mesh, in_specs=in_specs,
+                   out_specs=out_specs, check_vma=False)
+    ad_dev = _put_global(mesh, ad, P(None, CELL_AXIS))
+    dp_dev = _put_global(mesh, dp, P(None, CELL_AXIS))
+    state_dev = dataclasses.replace(
+        state,
+        id_prob=_put_global(mesh, state.id_prob, P(CELL_AXIS, None)),
+        gt_prob=_put_global(mesh, state.gt_prob, P()),
+        beta_mu=_put_global(mesh, state.beta_mu, P()),
+        beta_sum=_put_global(mesh, state.beta_sum, P()))
+    priors_dev = jax.tree.map(lambda x: _put_global(mesh, x, P()), priors)
+    return fn(ad_dev, dp_dev, state_dev, priors_dev)
+
+
 def sharded_fit_vb(mesh, arrays, meta, state, priors, cfg, **fit_kwargs):
     """shard_map the full VB fit over cell-sharded COO chunks.
 
