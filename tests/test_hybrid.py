@@ -213,3 +213,42 @@ def test_var_subset_matches_dense(heavy_data, cap, kind):
                                float(ref.binom_coeff_sum()), rtol=1e-8)
     d = hs.densify()
     np.testing.assert_allclose(np.asarray(d.ad), AD.toarray()[idx])
+
+
+def test_sharded_packed_hybrid_parity(heavy_data):
+    """The mesh packed-hybrid rung (MeshPackedCounts nibble base +
+    replicated overflow residual) compiles under jit and matches the
+    f64 dense contraction on the 8-virtual-device mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from vireo_tpu.parallel.mesh import make_mesh, CELL_AXIS
+    from vireo_tpu.ops.packed import MeshPackedCounts
+
+    AD, DP = heavy_data
+    n_elems = AD.shape[0] * AD.shape[1]
+    mesh = make_mesh(8)
+    sh = NamedSharding(mesh, P(None, CELL_AXIS))
+
+    c = counts_from_scipy(AD, DP, max_dense_elems=10,
+                          dense_budget=1.5 * n_elems, sharding=sh)
+    assert isinstance(c, HybridCounts)
+    assert isinstance(c.base, MeshPackedCounts)
+    ref = dense_counts(AD, DP, dtype=jnp.float64)
+
+    rng = np.random.RandomState(4)
+    W = jnp.asarray(rng.rand(ref.n_cell, 4), jnp.float32)
+    S1h, SSh = jax.jit(lambda w: c.suff_stats(w))(W)
+    S1r, SSr = ref.suff_stats(jnp.asarray(W, jnp.float64))
+    np.testing.assert_allclose(np.asarray(S1h), np.asarray(S1r),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(SSh), np.asarray(SSr),
+                               rtol=1e-4, atol=1e-3)
+    Wa = jnp.asarray(rng.randn(ref.n_var, 4), jnp.float32)
+    Wd = jnp.asarray(rng.randn(ref.n_var, 4), jnp.float32)
+    got = np.asarray(jax.jit(lambda a, b: c.cell_loglik(a, b))(Wa, Wd))
+    want = np.asarray(ref.cell_loglik(jnp.asarray(Wa, jnp.float64),
+                                      jnp.asarray(Wd, jnp.float64)))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, rtol=1e-4,
+                               atol=1e-4 * scale)
+    np.testing.assert_allclose(float(c.binom_coeff_sum()),
+                               float(ref.binom_coeff_sum()), rtol=1e-5)
