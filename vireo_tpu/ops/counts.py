@@ -461,6 +461,12 @@ def _hybrid_from_triplets(rows, cols, ad_v, dp_v, shape, cap, kind,
     corr = float(np.sum(_np_log_binom_coeff(dt, at))
                  - np.sum(_np_log_binom_coeff(np.minimum(dt, cap),
                                               np.minimum(at, cap))))
+    # power-of-two residual padding: the fit program's shape depends on
+    # the padded residual size, so coarse buckets keep the persistent
+    # compile cache hot across datasets
+    n_over = int(m.sum())
+    pad_multiple = max(pad_multiple,
+                       1 << int(np.ceil(np.log2(max(n_over, 1)))))
     resid = _sparse_from_triplets(
         rr[m], cr[m], np.maximum(at - cap, 0.0), np.maximum(dt - cap, 0.0),
         shape, pad_multiple=pad_multiple)
@@ -742,12 +748,26 @@ def _sparse_from_triplets(rows, cols, ad_vals, dp_vals, shape,
 def _triplet_device_args(rows, cols, ad_v, dp_v, val_dtype):
     """Cast host triplets to transfer-efficient dtypes before moving
     them to device (int8 values are 30 MB instead of 240 MB at 30M nnz
-    — the tunnel transfer is a real cost)."""
-    rows = jnp.asarray(np.asarray(rows), jnp.int32)
-    cols = jnp.asarray(np.asarray(cols), jnp.int32)
-    ad_v = jnp.asarray(np.asarray(ad_v), val_dtype)
-    dp_v = jnp.asarray(np.asarray(dp_v), val_dtype)
-    return rows, cols, ad_v, dp_v
+    — the tunnel transfer is a real cost). nnz is padded to the next
+    power of two with zero-value entries at (0, 0) — scatter-add
+    no-ops — so the scatter program's shape (and its persistent
+    compile-cache entry) is reused across datasets instead of
+    recompiling per exact nnz (~2 min per shape through the remote
+    compile service)."""
+    rows = np.asarray(rows, np.int32)
+    cols = np.asarray(cols, np.int32)
+    ad_v = np.asarray(ad_v)
+    dp_v = np.asarray(dp_v)
+    n = rows.shape[0]
+    target = max(4096, 1 << int(np.ceil(np.log2(max(n, 1)))))
+    if target > n:
+        pad = (0, target - n)
+        rows = np.pad(rows, pad)
+        cols = np.pad(cols, pad)
+        ad_v = np.pad(ad_v, pad)
+        dp_v = np.pad(dp_v, pad)
+    return (jnp.asarray(rows), jnp.asarray(cols),
+            jnp.asarray(ad_v, val_dtype), jnp.asarray(dp_v, val_dtype))
 
 
 def _densify_triplets(rows, cols, ad_v, dp_v, shape, dtype,
