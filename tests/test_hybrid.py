@@ -252,3 +252,24 @@ def test_sharded_packed_hybrid_parity(heavy_data):
                                atol=1e-4 * scale)
     np.testing.assert_allclose(float(c.binom_coeff_sum()),
                                float(ref.binom_coeff_sum()), rtol=1e-5)
+
+
+def test_wrap_places_prebuilt_hybrid_on_mesh(heavy_data):
+    """A pre-built HybridCounts passed to vireo_wrap with an explicit
+    mesh gets its base cell-sharded and residual replicated; the run
+    completes and returns well-formed posteriors."""
+    from vireo_tpu.engine.wrap import vireo_wrap
+    from vireo_tpu.parallel.mesh import make_mesh
+
+    AD, DP = heavy_data
+    n_elems = AD.shape[0] * AD.shape[1]
+    h = counts_from_scipy(AD, DP, max_dense_elems=10,
+                          dense_budget=3 * n_elems)
+    assert isinstance(h, HybridCounts)
+    res = vireo_wrap(h, n_donor=3, n_init=2, random_seed=4,
+                     check_doublet=True, verbose=False,
+                     mesh=make_mesh(8))
+    assert res["ID_prob"].shape == (AD.shape[1], 3)
+    np.testing.assert_allclose(
+        res["ID_prob"].sum(1) + res["doublet_prob"].sum(1), 1.0,
+        rtol=1e-4)

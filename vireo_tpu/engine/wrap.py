@@ -13,7 +13,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.counts import DenseCounts, SparseCounts, counts_from_scipy
+from ..ops.counts import (DenseCounts, SparseCounts, HybridCounts,
+                          counts_from_scipy)
 from ..ops.matching import optimal_match, donor_select
 from ..models.vireo import (Vireo, VireoConfig, init_state, default_priors,
                             fit_vb)
@@ -64,6 +65,20 @@ def _as_counts(AD, DP, dtype, mesh=None, verbose=False):
             sh = _cell_sharding(mesh)
             counts = DenseCounts(jax.device_put(counts.ad, sh),
                                  jax.device_put(counts.dp, sh))
+        elif mesh is not None and isinstance(counts, HybridCounts) \
+                and isinstance(counts.base, DenseCounts) \
+                and counts.n_cell % int(mesh.devices.size) == 0:
+            import dataclasses
+            from jax.sharding import NamedSharding, PartitionSpec
+            sh = _cell_sharding(mesh)
+            rep = NamedSharding(mesh, PartitionSpec())
+            counts = dataclasses.replace(
+                counts,
+                base=DenseCounts(jax.device_put(counts.base.ad, sh),
+                                 jax.device_put(counts.base.dp, sh)),
+                resid=jax.tree.map(lambda x: jax.device_put(x, rep),
+                                   counts.resid),
+                binom_corr=jax.device_put(counts.binom_corr, rep))
         return counts
     sharding = _cell_sharding(mesh) if mesh is not None else None
     return counts_from_scipy(AD, DP, dtype=dtype, sharding=sharding,

@@ -465,6 +465,11 @@ def _hybrid_from_triplets(rows, cols, ad_v, dp_v, shape, cap, kind,
     # the padded residual size, so coarse buckets keep the persistent
     # compile cache hot across datasets
     n_over = int(m.sum())
+    if n_over > 0.1 * max(len(ar), 1):
+        print("[vireo] warning: %.0f%% of counts exceed the %s cap %d "
+              "— the hybrid residual is unusually large and per-"
+              "iteration cost grows with it" % (100 * n_over / len(ar),
+                                                kind, cap))
     pad_multiple = max(pad_multiple,
                        1 << int(np.ceil(np.log2(max(n_over, 1)))))
     resid = _sparse_from_triplets(
