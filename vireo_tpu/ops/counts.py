@@ -427,7 +427,7 @@ class HybridCounts:
 
         resid = _sparse_from_triplets(
             new_rows, new_cols, da, dd, (len(idx), self.n_cell),
-            pad_multiple=1024)
+            pad_multiple=1024, with_ptr=False)
         corr_dtype = jnp.float64 if jax.config.jax_enable_x64 \
             else jnp.float32
         return HybridCounts(base=base, resid=resid,
@@ -474,7 +474,7 @@ def _hybrid_from_triplets(rows, cols, ad_v, dp_v, shape, cap, kind,
                        1 << int(np.ceil(np.log2(max(n_over, 1)))))
     resid = _sparse_from_triplets(
         rr[m], cr[m], np.maximum(at - cap, 0.0), np.maximum(dt - cap, 0.0),
-        shape, pad_multiple=pad_multiple)
+        shape, pad_multiple=pad_multiple, with_ptr=False)
 
     if base is not None:
         pass
@@ -708,9 +708,15 @@ def sparse_counts(AD, DP, dtype=jnp.float32, pad_multiple=8192):
 
 
 def _sparse_from_triplets(rows, cols, ad_vals, dp_vals, shape,
-                          dtype=jnp.float32, pad_multiple=8192):
+                          dtype=jnp.float32, pad_multiple=8192,
+                          with_ptr=None):
     """Build SparseCounts from host COO triplets (no de-duplication:
-    (row, col) pairs must be unique)."""
+    (row, col) pairs must be unique).
+
+    `with_ptr=False` skips the segment-boundary pointers so the
+    contractions use one fused sorted segment_sum — faster for SMALL
+    nnz (e.g. hybrid residuals), where the compensated prefix-sum
+    path's fixed per-call costs dominate its asymptotic win."""
     n_var, n_cell = shape
     rows = np.asarray(rows, np.int64)
     cols = np.asarray(cols, np.int64)
@@ -738,15 +744,16 @@ def _sparse_from_triplets(rows, cols, ad_vals, dp_vals, shape,
     row_ptr = np.searchsorted(rows[row_order], np.arange(n_var + 1))
     col_ptr = np.searchsorted(cols[col_order], np.arange(n_cell + 1))
 
-    exact = os.environ.get("VIREO_COO_EXACT", "0") == "1"
+    if with_ptr is None:
+        with_ptr = os.environ.get("VIREO_COO_EXACT", "0") != "1"
     return SparseCounts(
         rows_r=jnp.asarray(rr), cols_r=jnp.asarray(cr),
         ad_r=jnp.asarray(ar, dtype=dtype), dp_r=jnp.asarray(dr, dtype=dtype),
         rows_c=jnp.asarray(rc), cols_c=jnp.asarray(cc),
         ad_c=jnp.asarray(ac, dtype=dtype), dp_c=jnp.asarray(dc, dtype=dtype),
         shape=(int(n_var), int(n_cell)), nnz=int(nnz),
-        row_ptr=None if exact else jnp.asarray(row_ptr, jnp.int32),
-        col_ptr=None if exact else jnp.asarray(col_ptr, jnp.int32),
+        row_ptr=jnp.asarray(row_ptr, jnp.int32) if with_ptr else None,
+        col_ptr=jnp.asarray(col_ptr, jnp.int32) if with_ptr else None,
     )
 
 
@@ -909,13 +916,6 @@ def exact_count_dtype(vmax):
     if vmax <= 256:
         return jnp.bfloat16
     return jnp.float32
-
-
-def _scipy_max(X):
-    """Max entry of a scipy-sparse / numpy count matrix, host-side."""
-    if hasattr(X, "data"):
-        return float(X.data.max()) if X.nnz else 0.0
-    return float(np.max(X)) if X.size else 0.0
 
 
 def _scipy_clip(X, cap):
