@@ -22,7 +22,8 @@ from .models import vireo as model
 
 from .ops.math import normalize, loglik_amplify, beta_entropy, get_binom_coeff
 from .ops.matching import match, optimal_match, donor_select, get_confusion
-from .ops.counts import Counts, dense_counts, sparse_counts, counts_from_scipy
+from .ops.counts import (Counts, dense_counts, sparse_counts,
+                         counts_from_scipy, HybridCounts)
 
 from .models.vireo import Vireo
 from .models.bmm import BinomMixtureVB
