@@ -1,0 +1,95 @@
+"""FULL vireo_wrap across processes: every phase (warm restarts, refit,
+doublet) of the production orchestrator on a jax.distributed mesh.
+
+Each process holds the host input (as in the reference's single-node
+setting); device placement uses global NamedShardings, so the count
+matrices and assignment posteriors live cell-sharded across ALL
+processes' devices while parameters replicate — the wrap's normal
+GSPMD path, exercised multi-process. Donor calls are checked against a
+single-process run of the same data.
+
+Usage: python benchmarks/multihost_wrap_demo.py [n_processes]
+Prints one JSON line from process 0.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PORT = int(os.environ.get("MW_PORT", 29917))
+
+N_VAR = int(os.environ.get("MW_VARS", 1500))
+N_CELL = int(os.environ.get("MW_CELLS", 2000))
+N_DONOR = int(os.environ.get("MW_DONORS", 4))
+
+
+def worker(pid, nproc):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, REPO)
+    import numpy as np
+    from vireo_tpu.parallel.mesh import initialize_distributed, make_mesh
+    from vireo_tpu.engine.wrap import vireo_wrap
+    from vireo_tpu.sim.synth import synth_pool_counts
+    from vireo_tpu.ops.matching import optimal_match
+
+    if nproc > 1:
+        initialize_distributed(coordinator_address="127.0.0.1:%d" % PORT,
+                               num_processes=nproc, process_id=pid)
+
+    d = synth_pool_counts(n_var=N_VAR, n_cell=N_CELL, n_donor=N_DONOR,
+                          doublet_rate=0.05, density=0.05, seed=0)
+
+    mesh = make_mesh()          # all devices across all processes
+    res = vireo_wrap(d["AD"], d["DP"], n_donor=N_DONOR, n_init=4,
+                     random_seed=1, check_doublet=True, verbose=False,
+                     mesh=mesh)
+
+    # single-process reference fit of the same data (local mesh=None)
+    ref = vireo_wrap(d["AD"], d["DP"], n_donor=N_DONOR, n_init=4,
+                     random_seed=1, check_doublet=True, verbose=False,
+                     mesh=None)
+
+    if pid == 0:
+        idx0, idx1 = optimal_match(ref["GT_prob"], res["GT_prob"],
+                                   axis=1)
+        pred = np.argmax(res["ID_prob"][:, idx1], axis=1)
+        pred_ref = np.argmax(ref["ID_prob"], axis=1)
+        agree = float(np.mean(pred == pred_ref))
+        print(json.dumps({
+            "metric": "multiproc_wrap_donor_agreement",
+            "value": round(agree, 4), "unit": "frac",
+            "n_processes": nproc,
+            "elbo_multi": float(res["LB_doublet"]),
+            "elbo_single": float(ref["LB_doublet"]),
+            "ok": agree >= 0.99,
+        }))
+
+
+def main():
+    nproc = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    procs = []
+    for p in range(nproc):
+        procs.append(subprocess.Popen(
+            [sys.executable, __file__, "--worker", str(p), str(nproc)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = [pr.communicate(timeout=1500)[0] for pr in procs]
+    rc = [pr.returncode for pr in procs]
+    for o in outs:
+        for ln in o.splitlines():
+            if ln.startswith("{"):
+                print(ln)
+    if any(r != 0 for r in rc):
+        sys.stderr.write("worker rcs: %s\n%s\n" % (rc, outs[0][-2000:]))
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), int(sys.argv[3]))
+    else:
+        main()

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from ..ops.counts import (DenseCounts, SparseCounts, HybridCounts,
                           counts_from_scipy)
+from ..utils.fetch import host_fetch
 from ..ops.matching import optimal_match, donor_select
 from ..models.vireo import (Vireo, VireoConfig, init_state, default_priors,
                             fit_vb)
@@ -130,7 +131,7 @@ def _model_from_state(counts, cfg_kwargs, n_donor, learn_GT, state,
               learn_GT=learn_GT, dtype=dtype,
               beta_mu_init=np.asarray(state.beta_mu),
               beta_sum_init=np.asarray(state.beta_sum),
-              ID_prob_init=np.asarray(state.id_prob),
+              ID_prob_init=host_fetch(state.id_prob),
               GT_prob_init=np.asarray(state.gt_prob), **cfg_kwargs)
     m.set_prior(GT_prior=GT_prior_use)
     return m
@@ -425,10 +426,10 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
         print(timer.summary())
 
     RV = {}
-    RV['ID_prob'] = np.asarray(ID_prob)
+    RV['ID_prob'] = host_fetch(ID_prob)
     RV['GT_prob'] = modelCA.GT_prob
-    RV['doublet_LLR'] = np.asarray(doublet_LLR)
-    RV['doublet_prob'] = np.asarray(doublet_prob)
+    RV['doublet_LLR'] = host_fetch(doublet_LLR)
+    RV['doublet_prob'] = host_fetch(doublet_prob)
     RV['theta_shapes'] = theta_shapes
     RV['theta_mean'] = modelCA.beta_mu
     RV['theta_sum'] = modelCA.beta_sum

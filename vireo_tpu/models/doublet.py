@@ -204,8 +204,9 @@ def predict_doublet(vobj, AD, DP=None, update_GT=True, update_ID=True,
         post, llr = _doublet_posterior(
             counts, gt_both, mu_both, sum_both,
             jnp.asarray(np.log(prior_row), vobj.dtype), K)
-        ID_prob_both = np.asarray(post)
-        logLik_ratio = np.asarray(llr)
+        from ..utils.fetch import host_fetch
+        ID_prob_both = host_fetch(post)
+        logLik_ratio = host_fetch(llr)
     else:
         id_prior = np.broadcast_to(id_prior_np, (n_cell, K))
         prior_both = np.concatenate(

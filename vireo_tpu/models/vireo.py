@@ -430,7 +430,8 @@ class Vireo:
 
     @property
     def ID_prob(self):
-        return np.asarray(self.state.id_prob)
+        from ..utils.fetch import host_fetch
+        return host_fetch(self.state.id_prob)
 
     @ID_prob.setter
     def ID_prob(self, value):
@@ -487,13 +488,16 @@ class Vireo:
                      max_iter=max_iter, min_iter=min_iter,
                      epsilon_conv=epsilon_conv,
                      delay_fit_theta=delay_fit_theta)
-        res = jax.device_get(res)
-        self.state = jax.tree.map(jnp.asarray, res.state)
-        n_it = int(res.n_iter)
+        # keep the state on device (it may be sharded across a mesh —
+        # possibly spanning processes); only the replicated scalars and
+        # the ELBO trace come to host
+        self.state = res.state
+        n_it = int(jax.device_get(res.n_iter))
+        elbo_trace = np.asarray(jax.device_get(res.elbo_trace))
         if verbose:
-            warn_from_trace(res.elbo_trace, n_it, max_iter, min_iter)
+            warn_from_trace(elbo_trace, n_it, max_iter, min_iter)
         # reference keeps ELBO[:it] where it is the last executed index
-        elbo_hist = np.asarray(res.elbo_trace)[:max(n_it - 1, 0)]
+        elbo_hist = elbo_trace[:max(n_it - 1, 0)]
         elbo_hist = elbo_hist + float(
             jax.device_get(counts.binom_coeff_sum()))
         self.ELBO_ = np.append(self.ELBO_, elbo_hist)
