@@ -310,9 +310,10 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
                   % (np.min(elbo_all), np.median(elbo_all),
                      np.max(elbo_all)))
     else:
-        modelCA = _model_from_state(counts, cfg_kwargs, n_donor_use,
-                                    learn_GT, best_state, GT_prior_use,
-                                    dtype)
+        with phase("model_build"):   # host round-trip of the winning
+            modelCA = _model_from_state(    # state (link-bound on a
+                counts, cfg_kwargs, n_donor_use,  # remote accelerator)
+                learn_GT, best_state, GT_prior_use, dtype)
         modelCA.ELBO_ = np.asarray([elbo_all[np.argmax(elbo_all)]])
 
         # ---- long refit of the winner / extra-donor reduction
