@@ -134,3 +134,16 @@ def test_bulk_parity_vs_reference(reference):
                        np.asarray(ref.theta, float))
     np.testing.assert_allclose(lr_o, lr_r, rtol=1e-8)
     np.testing.assert_allclose(p_o, p_r, rtol=1e-6)
+
+
+def test_host_fetch_single_process_noop():
+    """host_fetch is np.asarray for fully addressable arrays (the
+    multi-process all-gather branch is exercised by
+    benchmarks/multihost_wrap_demo.py)."""
+    import jax.numpy as jnp
+    from vireo_tpu.utils.fetch import host_fetch
+    x = jnp.arange(6.0).reshape(2, 3)
+    out = host_fetch(x)
+    assert isinstance(out, np.ndarray)
+    np.testing.assert_array_equal(out, np.arange(6.0).reshape(2, 3))
+    np.testing.assert_array_equal(host_fetch(np.ones(3)), np.ones(3))
