@@ -9,6 +9,8 @@ All mode-resolution branches (extra-donor search, subset/superset donor
 priors, doublet and ambient dispatch) are preserved host-side.
 """
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -58,18 +60,33 @@ def _pad_cells(X, n_pad):
     return np.pad(np.asarray(X), ((0, 0), (0, n_pad)))
 
 
+def _mesh_native(counts):
+    """Counts objects that carry their own mesh axis (MeshPackedCounts,
+    or a hybrid over one) are already placed."""
+    return (getattr(counts, "axis", None) is not None
+            or getattr(getattr(counts, "base", None), "axis", None)
+            is not None)
+
+
 def _as_counts(AD, DP, dtype, mesh=None, verbose=False):
+    """Returns (counts, mesh_placed). `mesh_placed` is True only when
+    the counts actually ended up cell-sharded on the mesh — the caller
+    must not report sharding otherwise."""
     if hasattr(AD, "suff_stats"):     # already a device counts object
         counts = AD
-        if mesh is not None and isinstance(counts, DenseCounts) \
-                and counts.n_cell % int(mesh.devices.size) == 0:
+        if mesh is None:
+            return counts, False
+        if _mesh_native(counts):
+            return counts, True
+        size = int(mesh.devices.size)
+        if isinstance(counts, DenseCounts) and counts.n_cell % size == 0:
             sh = _cell_sharding(mesh)
             counts = DenseCounts(jax.device_put(counts.ad, sh),
                                  jax.device_put(counts.dp, sh))
-        elif mesh is not None and isinstance(counts, HybridCounts) \
+            return counts, True
+        if isinstance(counts, HybridCounts) \
                 and isinstance(counts.base, DenseCounts) \
-                and counts.n_cell % int(mesh.devices.size) == 0:
-            import dataclasses
+                and counts.n_cell % size == 0:
             from jax.sharding import NamedSharding, PartitionSpec
             sh = _cell_sharding(mesh)
             rep = NamedSharding(mesh, PartitionSpec())
@@ -80,21 +97,34 @@ def _as_counts(AD, DP, dtype, mesh=None, verbose=False):
                 resid=jax.tree.map(lambda x: jax.device_put(x, rep),
                                    counts.resid),
                 binom_corr=jax.device_put(counts.binom_corr, rep))
-        return counts
+            return counts, True
+        import warnings
+        warnings.warn(
+            "[vireo] pre-built %s counts (n_cell=%d) could not be "
+            "placed on the %d-device mesh (cell axis not divisible, or "
+            "layout has no mesh path); the run proceeds UNSHARDED. Pad "
+            "the cell axis to a multiple of the device count, or pass "
+            "raw scipy/numpy matrices so vireo_wrap pads for you."
+            % (type(counts).__name__, counts.n_cell, size))
+        return counts, False
     sharding = _cell_sharding(mesh) if mesh is not None else None
-    return counts_from_scipy(AD, DP, dtype=dtype, sharding=sharding,
-                             verbose=verbose)
+    counts = counts_from_scipy(AD, DP, dtype=dtype, sharding=sharding,
+                               verbose=verbose)
+    # the COO fallback rung has no sharded layout
+    placed = mesh is not None and not isinstance(counts, SparseCounts)
+    return counts, placed
 
 
 def _device_batched_init(cfg, n_init, seed, GT_prior_use, dtype):
     """Draw the n_init restart states ON DEVICE (jax PRNG).
 
-    Opt-in via VIREO_DEVICE_INIT=1: skips the reference-parity host
-    np.random draws and their ~250 MB host->device upload at the
-    100k-cell scale (the host link is the warm phase's main cost on a
-    remote accelerator). Deterministic in `seed`, but NOT stream-
-    compatible with the reference's np.random inits — golden seeded
-    runs must keep the default host path.
+    The DEFAULT for unseeded runs (and forcible via VIREO_DEVICE_INIT=1
+    even when seeded): skips the reference-parity host np.random draws
+    and their ~250 MB host->device upload at the 100k-cell scale (the
+    host link is the warm phase's main cost on a remote accelerator).
+    Deterministic in `seed`, but NOT stream-compatible with the
+    reference's np.random inits — seeded runs therefore default to the
+    host path, preserving golden parity (vireo_wrap.py:52-54).
     """
     import jax.random as jr
     from ..models.vireo import VireoState
@@ -184,12 +214,10 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
     n_cell_in = AD.n_cell if hasattr(AD, "suff_stats") \
         else int(AD.shape[1])
     mesh = _resolve_mesh(mesh, n_cell_in)
-    if mesh is not None and verbose:
-        print("[vireo] cell axis sharded over %d devices"
-              % mesh.devices.size)
     # sharded placement needs the cell axis divisible by the mesh: pad
     # with zero-count cells (assignment = prior, removed from every
-    # returned array below)
+    # returned array below; random inits are drawn at the TRUE cell
+    # count so a padded mesh run reproduces the unpadded seeded run)
     n_pad_cells = 0
     if mesh is not None and not hasattr(AD, "suff_stats"):
         rem = n_cell_in % int(mesh.devices.size)
@@ -198,7 +226,11 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
             AD = _pad_cells(AD, n_pad_cells)
             DP = _pad_cells(DP, n_pad_cells)
     with phase("data_placement"):
-        counts = _as_counts(AD, DP, dtype, mesh=mesh, verbose=verbose)
+        counts, mesh_placed = _as_counts(AD, DP, dtype, mesh=mesh,
+                                         verbose=verbose)
+    if mesh_placed and verbose:
+        print("[vireo] cell axis sharded over %d devices"
+              % mesh.devices.size)
 
     if learn_GT is False and n_extra_donor > 0:
         print("Searching from extra donors only works with learn_GT")
@@ -217,6 +249,20 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
         np.random.seed(random_seed)
     rng = np.random  # the reference draws from the global stream
 
+    # warm-restart init placement: the host np.random draws exist only
+    # to reproduce the reference's seeded RNG stream (vireo_wrap.py:
+    # 52-54, vireo_model.py:95-104). Unseeded runs carry no such parity
+    # contract, so they default to on-device jax PRNG inits — skipping
+    # a ~250 MB host->device upload at the 100k-cell scale.
+    # VIREO_DEVICE_INIT=1/0 forces either path.
+    _knob = os.environ.get("VIREO_DEVICE_INIT", "").lower()
+    if _knob in ("1", "on", "yes"):
+        device_init = True
+    elif _knob in ("0", "off", "no"):
+        device_init = False
+    else:
+        device_init = random_seed is None
+
     # run fingerprint: refuse to resume from a checkpoint directory
     # written with different data/arguments (advisor round-2 finding —
     # shape-compatible stale state would silently corrupt results)
@@ -228,8 +274,7 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
         "learn_GT": int(bool(learn_GT)),
         "n_extra_donor": int(n_extra_donor),
         "has_GT_prior": int(GT_prior is not None),
-        "device_init": int(os.environ.get("VIREO_DEVICE_INIT",
-                                          "0") == "1"),
+        "device_init": int(device_init),
     }
     if resume is not None:
         ckpt.check_fingerprint(checkpoint_dir, run_fp)
@@ -260,18 +305,29 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
         ckpt.load_rng(checkpoint_dir, "rng_0")
     else:
         with phase("warm_restarts"):
-            if os.environ.get("VIREO_DEVICE_INIT", "0") == "1":
+            if device_init:
                 batched = _device_batched_init(cfg, n_init, random_seed,
                                                GT_prior_use, dtype)
             else:
-                states = [init_state(cfg, GT_prob_init=GT_prior_use,
+                # draw at the TRUE cell count (padded cells carry zero
+                # counts — their posterior is the prior after one step
+                # regardless of init), so the host RNG stream matches
+                # an unpadded run of the same seed
+                cfg_draw = dataclasses.replace(cfg, n_cell=n_cell_in)
+                states = [init_state(cfg_draw, GT_prob_init=GT_prior_use,
                                      rng=rng, dtype=dtype)
                           for _ in range(n_init)]
                 batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+                if n_pad_cells:
+                    pad = jnp.full((n_init, n_pad_cells, n_donor_use),
+                                   1.0 / n_donor_use, dtype)
+                    batched = dataclasses.replace(
+                        batched,
+                        id_prob=jnp.concatenate([batched.id_prob, pad],
+                                                axis=1))
             if mesh is not None and isinstance(counts, DenseCounts):
                 # place the (R, C, K) assignment batch cell-sharded next
                 # to the data; GT/theta stay replicated
-                import dataclasses
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 from ..parallel.mesh import CELL_AXIS
                 id_sh = NamedSharding(mesh, P(None, CELL_AXIS, None))
@@ -403,8 +459,11 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
     n_donor_final = modelCA.n_donor
     if check_doublet:
         with phase("doublet"):
+            # rate prior from the TRUE cell count (vireo_doublet.py:
+            # 44-50) — mesh cell-padding must not inflate it
             doublet_prob, ID_prob, doublet_LLR = predict_doublet(
-                modelCA, counts, None)
+                modelCA, counts, None,
+                doublet_rate_prior=min(0.5, n_cell_in / 100000))
     else:
         ID_prob = modelCA.ID_prob
         doublet_prob = np.zeros(

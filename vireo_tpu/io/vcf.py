@@ -311,48 +311,49 @@ def match_SNPs(SNP_ids1, SNPs_ids2):
     return mm_idx
 
 
+def _genoprob_from_vcf(path, tag):
+    """One VCF's (variant ids, sample ids, genotype-probability tensor)."""
+    dat = load_VCF(path, biallelic_only=True, sparse=False,
+                   format_list=[tag])
+    return (np.array(dat['variants']), np.array(dat['samples']),
+            parse_donor_GPb(dat['GenoINFO'][tag], tag))
+
+
 def match_VCF_samples(VCF_file1, VCF_file2, GT_tag1, GT_tag2):
-    """Match donors between two VCFs via Hungarian alignment on genotype
-    probabilities (vcf_utils.py:353-420)."""
-    vcf_dat0 = load_VCF(VCF_file1, biallelic_only=True, sparse=False,
-                        format_list=[GT_tag1])
-    GPb0_var_ids = np.array(vcf_dat0['variants'])
-    GPb0_donor_ids = np.array(vcf_dat0['samples'])
-    GPb0_tensor = parse_donor_GPb(vcf_dat0['GenoINFO'][GT_tag1], GT_tag1)
-    print('Shape for Geno Prob in VCF1:', GPb0_tensor.shape)
+    """Align donors across two VCFs: intersect their variants
+    (chr-prefix tolerant), then Hungarian-match donor columns on mean
+    absolute genotype-probability distance.
 
-    vcf_dat1 = load_VCF(VCF_file2, biallelic_only=True, sparse=False,
-                        format_list=[GT_tag2])
-    GPb1_var_ids = np.array(vcf_dat1['variants'])
-    GPb1_donor_ids = np.array(vcf_dat1['samples'])
-    GPb1_tensor = parse_donor_GPb(vcf_dat1['GenoINFO'][GT_tag2], GT_tag2)
-    print('Shape for Geno Prob in VCF2:', GPb1_tensor.shape)
+    Behavior contract (returned keys and progress prints) follows the
+    reference vcf_utils.py:353-420.
+    """
+    vars1, donors1, probs1 = _genoprob_from_vcf(VCF_file1, GT_tag1)
+    print('Shape for Geno Prob in VCF1:', probs1.shape)
+    vars2, donors2, probs2 = _genoprob_from_vcf(VCF_file2, GT_tag2)
+    print('Shape for Geno Prob in VCF2:', probs2.shape)
 
-    mm_idx = match_SNPs(GPb1_var_ids, GPb0_var_ids)
-    idx1 = np.where(mm_idx != None)[0]  # noqa: E711
-    idx0 = mm_idx[idx1].astype(int)
-
-    GPb1_tensor_use = GPb1_tensor[idx1]
-    GPb0_tensor_use = GPb0_tensor[idx0]
+    # variant j of VCF2 pairs with variant hit[j] of VCF1 (None = miss)
+    hit = match_SNPs(vars2, vars1)
+    in2 = np.flatnonzero(hit != None)  # noqa: E711
+    in1 = hit[in2].astype(int)
     print("n_variants in VCF1, VCF2 and matched: %d, %d, %d"
-          % (GPb0_var_ids.shape[0], GPb1_var_ids.shape[0], len(idx1)))
+          % (len(vars1), len(vars2), len(in2)))
 
-    idx0m, idx1m, GPb_diff = optimal_match(
-        GPb0_tensor_use, GPb1_tensor_use, axis=1, return_delta=True)
-
+    row, col, delta = optimal_match(probs1[in1], probs2[in2], axis=1,
+                                    return_delta=True)
     print("aligned donors:")
-    print(GPb0_donor_ids[idx0m])
-    print(GPb1_donor_ids[idx1m])
+    print(donors1[row])
+    print(donors2[col])
 
-    RV = {}
-    RV['matched_GPb_diff'] = GPb_diff[idx0m, :][:, idx1m]
-    RV['matched_donors1'] = GPb0_donor_ids[idx0m]
-    RV['matched_donors2'] = GPb1_donor_ids[idx1m]
-    RV['full_GPb_diff'] = GPb_diff
-    RV['full_donors1'] = GPb0_donor_ids
-    RV['full_donors2'] = GPb1_donor_ids
-    RV['matched_n_var'] = len(GPb0_var_ids[idx0])
-    return RV
+    return {
+        'matched_GPb_diff': delta[np.ix_(row, col)],
+        'matched_donors1': donors1[row],
+        'matched_donors2': donors2[col],
+        'full_GPb_diff': delta,
+        'full_donors1': donors1,
+        'full_donors2': donors2,
+        'matched_n_var': len(in2),
+    }
 
 
 def _signed_gene_distances(pos, starts, stops):

@@ -125,14 +125,9 @@ def predit_ambient(vobj, AD, DP, nproc=None, min_ELBO_gain=None, rng=None):
     # exceeds the f32 HBM budget outright); the selected-SNP block is
     # small
     sel = np.where(snp_idx)[0]
-    if hasattr(counts, "var_subset"):
-        dense = counts.var_subset(sel).densify()
-        ad_sel = np.asarray(dense.ad, np.float64).T  # (n_cell, n_sel)
-        dp_sel = np.asarray(dense.dp, np.float64).T
-    else:                                  # pure-COO fallback layout
-        dense = counts.densify()
-        ad_sel = np.asarray(dense.ad)[snp_idx, :].astype(np.float64).T
-        dp_sel = np.asarray(dense.dp)[snp_idx, :].astype(np.float64).T
+    base = counts if hasattr(counts, "var_subset") \
+        else counts.densify()             # pure-COO fallback layout
+    dense = base.var_subset(sel).densify()
     theta_sel = theta_mat[snp_idx, :]
 
     K = theta_mat.shape[1]
@@ -140,10 +135,23 @@ def predit_ambient(vobj, AD, DP, nproc=None, min_ELBO_gain=None, rng=None):
 
     # the per-cell EM is float math; integer count layouts (int8/
     # nibble) must not leak their storage dtype into it
-    dtype = np.float64 if np.asarray(dense.ad).dtype == np.float64 \
-        else np.float32
+    dtype = np.float64 if dense.ad.dtype == jnp.float64 else np.float32
+    if isinstance(dense.ad, jax.Array) \
+            and not dense.ad.is_fully_addressable:
+        # multi-process run: the selected block is cell-sharded across
+        # processes; allgather the small (n_sel, C) block and run the
+        # batch locally on every process (result-boundary semantics)
+        from ..utils.fetch import host_fetch
+        ad_cells = jnp.asarray(host_fetch(dense.ad).T, dtype)
+        dp_cells = jnp.asarray(host_fetch(dense.dp).T, dtype)
+    else:
+        # transpose/cast ON DEVICE: the previous host round-trip moved
+        # hundreds of MB of (n_cell, n_sel) blocks over the accelerator
+        # link at the north star for values the device already holds
+        ad_cells = dense.ad.T.astype(dtype)
+        dp_cells = dense.dp.T.astype(dtype)
     Psi, Psi_var, Psi_llr = fit_em_ambient_batch(
-        jnp.asarray(ad_sel, dtype), jnp.asarray(dp_sel, dtype),
+        ad_cells, dp_cells,
         jnp.asarray(theta_sel, dtype), jnp.asarray(psi0, dtype))
 
     stop = timeit.default_timer()

@@ -29,8 +29,9 @@ from ..ops.math import (normalize, softmax_from_loglik, kl_categorical,
                         beta_entropy, digamma_triplet)
 
 __all__ = ["VireoConfig", "VireoState", "VireoPriors", "FitResult",
-           "em_step", "fit_vb", "init_state", "default_priors",
-           "random_init_arrays", "warn_from_trace", "Vireo"]
+           "em_step", "fit_vb", "run_em_iters", "init_state",
+           "default_priors", "random_init_arrays", "warn_from_trace",
+           "Vireo"]
 
 
 def warn_from_trace(trace, n_iter, max_iter, min_iter, style="vireo"):
@@ -346,29 +347,15 @@ def fit_vb(counts, state, priors, cfg, max_iter=200, min_iter=5,
                      n_iter=it, elbo_trace=trace)
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_iters", "axis_name"))
+@partial(jax.jit, static_argnames=("cfg", "axis_name"))
 def run_em_iters(counts, state, priors, cfg, n_iters, axis_name=None):
     """Run exactly `n_iters` EM iterations (no convergence check).
 
     Benchmark/throughput entry point: a fori_loop of em_step with all
-    updates enabled. Returns (state, last_elbo).
+    updates enabled and a *traced* trip count, so one compilation
+    serves any n (compiles can cost minutes over a remote-compile
+    tunnel). Returns (state, last_elbo).
     """
-    def body(i, carry):
-        st, _ = carry
-        st2, _, elbo = em_step(counts, st, priors, cfg, update_theta=True,
-                               axis_name=axis_name)
-        return (st2, elbo)
-
-    dtype = state.id_prob.dtype
-    return jax.lax.fori_loop(
-        0, n_iters, body, (state, jnp.asarray(-jnp.inf, dtype)))
-
-
-@partial(jax.jit, static_argnames=("cfg", "axis_name"))
-def run_em_iters_n(counts, state, priors, cfg, n_iters, axis_name=None):
-    """Like run_em_iters but with a *traced* iteration count, so one
-    compilation serves any n (useful when compiles are expensive, e.g.
-    over a remote-compile tunnel)."""
     def body(i, carry):
         st, _ = carry
         st2, _, elbo = em_step(counts, st, priors, cfg, update_theta=True,
@@ -379,6 +366,10 @@ def run_em_iters_n(counts, state, priors, cfg, n_iters, axis_name=None):
     return jax.lax.fori_loop(
         0, n_iters, body, (state, jnp.asarray(-jnp.inf, dtype)),
         unroll=1)
+
+
+# backwards-compatible alias (the two entry points were merged)
+run_em_iters_n = run_em_iters
 
 
 class Vireo:

@@ -65,7 +65,8 @@ class DenseCounts:
             return jax.lax.Precision.HIGHEST
         return None
 
-    def _operand(self, x, like):
+    @staticmethod
+    def _operand(x):
         # int8 counts (half the HBM bytes of bf16) are cast to bf16 on
         # the fly; XLA fuses the convert into the matmul read.
         if x.dtype == jnp.int8:
@@ -76,8 +77,8 @@ class DenseCounts:
         """(AD @ W, DP @ W) for W of shape (n_cell, K) -> two (n_var, K)."""
         acc = W.dtype
         p = self._precision
-        ad = self._operand(self.ad, W)
-        dp = self._operand(self.dp, W)
+        ad = self._operand(self.ad)
+        dp = self._operand(self.dp)
         return (jnp.dot(ad, W, preferred_element_type=acc, precision=p),
                 jnp.dot(dp, W, preferred_element_type=acc, precision=p))
 
@@ -85,8 +86,8 @@ class DenseCounts:
         """AD.T @ Wa + DP.T @ Wd for (n_var, K) weights -> (n_cell, K)."""
         acc = Wa.dtype
         p = self._precision
-        ad = self._operand(self.ad, Wa)
-        dp = self._operand(self.dp, Wa)
+        ad = self._operand(self.ad)
+        dp = self._operand(self.dp)
         return (jnp.dot(ad.T, Wa, preferred_element_type=acc, precision=p)
                 + jnp.dot(dp.T, Wd, preferred_element_type=acc,
                           precision=p))
@@ -435,7 +436,42 @@ class HybridCounts:
                             cap=self.cap)
 
     def cell_slice(self, start, stop):
-        return self.densify().cell_slice(start, stop)
+        """Slice a cell range WITHOUT densifying the full matrix (the
+        hybrid rung is selected precisely when the exact dense layout
+        exceeds the HBM budget, so a full densify here would OOM the
+        chip). The base layout slices on device; the (tiny) residual is
+        re-filtered on host and the binomial correction recomputed from
+        the kept entries (true value = base + delta)."""
+        start, stop = int(start), int(stop)
+        base = self.base.cell_slice(start, stop)
+        r = self.resid
+        rows = np.asarray(jax.device_get(r.rows_r))
+        cols = np.asarray(jax.device_get(r.cols_r))
+        da = np.asarray(jax.device_get(r.ad_r), np.float64)
+        dd = np.asarray(jax.device_get(r.dp_r), np.float64)
+        keep = (cols >= start) & (cols < stop) & ((da > 0) | (dd > 0))
+        new_rows = rows[keep]
+        new_cols = cols[keep] - start
+        da, dd = da[keep], dd[keep]
+
+        bd = base.densify() if not isinstance(base, DenseCounts) else base
+        ba = np.asarray(jax.device_get(
+            bd.ad[jnp.asarray(new_rows), jnp.asarray(new_cols)]),
+            np.float64)
+        bb = np.asarray(jax.device_get(
+            bd.dp[jnp.asarray(new_rows), jnp.asarray(new_cols)]),
+            np.float64)
+        corr = float(np.sum(_np_log_binom_coeff(bb + dd, ba + da))
+                     - np.sum(_np_log_binom_coeff(bb, ba)))
+
+        resid = _sparse_from_triplets(
+            new_rows, new_cols, da, dd, (self.n_var, stop - start),
+            pad_multiple=1024, with_ptr=False)
+        corr_dtype = jnp.float64 if jax.config.jax_enable_x64 \
+            else jnp.float32
+        return HybridCounts(base=base, resid=resid,
+                            binom_corr=jnp.asarray(corr, corr_dtype),
+                            cap=self.cap)
 
 
 def _np_log_binom_coeff(dp, ad, max_val=700.0):

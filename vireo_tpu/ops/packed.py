@@ -342,8 +342,22 @@ class PackedCounts:
         return _repad(sub)
 
     def cell_slice(self, start, stop):
-        """Rare host-side path; goes through the dense layout."""
-        return self.densify().cell_slice(start, stop)
+        """Unpack only the byte range covering [start, stop) — a full
+        densify would double the HBM footprint the packed rung exists
+        to avoid."""
+        from .counts import DenseCounts
+        start, stop = int(start), int(stop)
+        b0, b1 = start // 2, -(-stop // 2)
+
+        @jax.jit
+        def unpack(p):
+            lo, hi = _unpack_i32(p[:, b0:b1])
+            full = jnp.stack([lo, hi], axis=2).reshape(p.shape[0], -1)
+            return full[:self.n_var].astype(jnp.int8)
+
+        off = start - 2 * b0
+        return DenseCounts(unpack(self.ad_p)[:, off:off + (stop - start)],
+                           unpack(self.dp_p)[:, off:off + (stop - start)])
 
 
 _binom_coeff_sum = jax.jit(PackedCounts._binom_coeff_sum_impl)
@@ -550,13 +564,19 @@ class MeshPackedCounts:
             shape=(int(len(idx)), self.n_cell), block_v=bv)
 
     def cell_slice(self, start, stop):
-        """Host-side fallback (--cellRange): gather to one device."""
-        ad = np.asarray(jax.device_get(self.ad_p))
-        dp = np.asarray(jax.device_get(self.dp_p))
+        """Host-side fallback (--cellRange): gather only the byte range
+        covering the slice (possibly across processes), unpack on one
+        device."""
+        from ..utils.fetch import host_fetch
+        start, stop = int(start), int(stop)
+        b0, b1 = start // 2, -(-stop // 2)
+        ad = host_fetch(self.ad_p[:, b0:b1])
+        dp = host_fetch(self.dp_p[:, b0:b1])
         single = PackedCounts(ad_p=jnp.asarray(ad), dp_p=jnp.asarray(dp),
-                              shape=(self.n_var, self.n_cell_pad),
+                              shape=(self.n_var, 2 * (b1 - b0)),
                               block_v=self.block_v, block_c=self.block_c)
-        return single.densify().cell_slice(start, stop)
+        off = start - 2 * b0
+        return single.cell_slice(off, off + (stop - start))
 
     def densify(self, dtype=jnp.int8):
         from .counts import DenseCounts

@@ -11,9 +11,11 @@ import os
 import glob
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..models.vireo import VireoState, VireoPriors
+from .fetch import host_fetch
 
 __all__ = ["save_state", "load_state", "latest_step", "save_rng",
            "load_rng", "check_fingerprint"]
@@ -33,28 +35,34 @@ def save_state(ckpt_dir, step, state, priors=None, elbo_trace=None,
     so a stale directory from a different dataset cannot silently feed
     wrong state into a shape-compatible rerun.
     """
-    os.makedirs(ckpt_dir, exist_ok=True)
+    # host_fetch: the fit state may be cell-sharded across processes in
+    # a jax.distributed run (np.asarray on a non-fully-addressable array
+    # raises); every process participates in the allgather but only
+    # process 0 writes the file.
     payload = {
-        "beta_mu": np.asarray(state.beta_mu),
-        "beta_sum": np.asarray(state.beta_sum),
-        "gt_prob": np.asarray(state.gt_prob),
-        "id_prob": np.asarray(state.id_prob),
+        "beta_mu": host_fetch(state.beta_mu),
+        "beta_sum": host_fetch(state.beta_sum),
+        "gt_prob": host_fetch(state.gt_prob),
+        "id_prob": host_fetch(state.id_prob),
     }
     if priors is not None:
         payload.update({
-            "prior_theta_s1": np.asarray(priors.theta_s1),
-            "prior_theta_s2": np.asarray(priors.theta_s2),
-            "prior_id_log": np.asarray(priors.id_log),
-            "prior_gt_log": np.asarray(priors.gt_log),
+            "prior_theta_s1": host_fetch(priors.theta_s1),
+            "prior_theta_s2": host_fetch(priors.theta_s2),
+            "prior_id_log": host_fetch(priors.id_log),
+            "prior_gt_log": host_fetch(priors.gt_log),
         })
     if elbo_trace is not None:
-        payload["elbo_trace"] = np.asarray(elbo_trace)
+        payload["elbo_trace"] = host_fetch(elbo_trace)
     for k, v in (extra or {}).items():
-        payload["extra_" + k] = np.asarray(v)
+        payload["extra_" + k] = host_fetch(v)
     for k, v in (fingerprint or {}).items():
         payload["fp_" + k] = np.asarray(v)
 
     path = _path(ckpt_dir, step)
+    if jax.process_index() != 0:
+        return path
+    os.makedirs(ckpt_dir, exist_ok=True)
     tmp = path + ".tmp.npz"
     np.savez_compressed(tmp, **payload)
     os.replace(tmp, path)
@@ -123,7 +131,13 @@ def check_fingerprint(ckpt_dir, fingerprint, step=None):
 
 
 def save_rng(ckpt_dir, name="rng_state"):
-    """Persist the numpy global RNG (restart-stream reproducibility)."""
+    """Persist the numpy global RNG (restart-stream reproducibility).
+
+    Process 0 writes; other processes hold the identical host stream
+    (all run the same seeded host code), so one copy suffices and a
+    shared filesystem sees no concurrent writers."""
+    if jax.process_index() != 0:
+        return
     os.makedirs(ckpt_dir, exist_ok=True)
     s = np.random.get_state()
     np.savez(os.path.join(ckpt_dir, name + ".npz"),
