@@ -401,7 +401,8 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
             # ---- donor-subset prior: keep largest donors, refit fixed
             # (vireo_wrap.py:111-119)
             if GT_prior is not None and n_donor < GT_prior.shape[1]:
-                _donor_cnt = np.sum(modelCA.ID_prob, axis=0)
+                _donor_cnt = host_fetch(
+                    jnp.sum(modelCA.state.id_prob, axis=0))
                 _donor_idx = np.argsort(_donor_cnt)[::-1]
                 GT_prior_use = GT_prior[:, _donor_idx[:n_donor], :]
 
@@ -451,7 +452,9 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
         print(np.round(modelCA.beta_sum, 1))
 
         print("[vireo] donor size before removing doublets:")
-        _donor_cnt = np.sum(modelCA.ID_prob, axis=0)
+        # reduce on device; fetching the whole (C, K) posterior for a
+        # K-entry print costs ~6 MB over a remote-accelerator link
+        _donor_cnt = host_fetch(jnp.sum(modelCA.state.id_prob, axis=0))
         print("\t".join(["donor%d" % x for x in range(len(_donor_cnt))]))
         print("\t".join(["%.0f" % x for x in _donor_cnt]))
 

@@ -180,7 +180,7 @@ def predict_doublet(vobj, AD, DP=None, update_GT=True, update_ID=True,
     id_prior_np = np.exp(np.asarray(vobj.priors.id_log))
 
     fused = _fused_doublet_mode(counts, vobj)
-    S1 = SS = None
+    S1 = SS = device_post = None
     if fused is not None:
         # single HBM pass: E-step + singlet GT stats from the kernel
         prior_row = np.concatenate(
@@ -204,6 +204,7 @@ def predict_doublet(vobj, AD, DP=None, update_GT=True, update_ID=True,
         post, llr = _doublet_posterior(
             counts, gt_both, mu_both, sum_both,
             jnp.asarray(np.log(prior_row), vobj.dtype), K)
+        device_post = post
         from ..utils.fetch import host_fetch
         ID_prob_both = host_fetch(post)
         logLik_ratio = host_fetch(llr)
@@ -222,7 +223,13 @@ def predict_doublet(vobj, AD, DP=None, update_GT=True, update_ID=True,
                         - logLik_ID[:, :K].max(axis=1))
 
     if update_ID:
-        vobj.ID_prob = ID_prob_both[:, :K]
+        if device_post is not None:
+            # slice the device posterior in place of re-uploading the
+            # host copy (a (C, K) push over the accelerator link)
+            vobj.state = dataclasses.replace(vobj.state,
+                                             id_prob=device_post[:, :K])
+        else:
+            vobj.ID_prob = ID_prob_both[:, :K]
         if update_GT and S1 is not None:
             # GT refresh straight from the kernel's statistics — skips
             # update_GT_prob's full extra pass over the count matrices
