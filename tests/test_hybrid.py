@@ -254,6 +254,96 @@ def test_sharded_packed_hybrid_parity(heavy_data):
                                float(ref.binom_coeff_sum()), rtol=1e-5)
 
 
+@pytest.fixture(scope="module")
+def midscale_pool():
+    """~1.3M-nnz pool (2500 x 3200, 4 donors) with a planted heavy
+    tail: ~0.7% of nonzeros above the nibble cap (15), ~0.1% above the
+    int8 cap (127) — the residual fractions the hybrid rung sees on
+    real deep-coverage pools."""
+    from vireo_tpu.sim.synth import synth_pool_counts
+    from vireo_tpu.ops.counts import _host_union_triplets
+
+    d = synth_pool_counts(n_var=2500, n_cell=3200, n_donor=4,
+                          density=0.2, mean_extra_depth=3.0,
+                          doublet_rate=0.0, seed=9)
+    rows, cols, a, dv = _host_union_triplets(d["AD"], d["DP"])
+    rng = np.random.RandomState(3)
+    hot = rng.rand(len(dv)) < 0.006
+    dv = dv + hot * rng.randint(20, 120, len(dv))
+    vhot = rng.rand(len(dv)) < 0.001
+    dv = dv + vhot * rng.randint(150, 500, len(dv))
+    a = np.minimum(a + (hot | vhot) * rng.randint(0, 80, len(dv)), dv)
+    shape = d["AD"].shape
+    AD = sp.csc_matrix((a, (rows, cols)), shape=shape)
+    DP = sp.csc_matrix((dv, (rows, cols)), shape=shape)
+    assert DP.nnz > 1_000_000
+    assert 0.001 < (dv > 15).mean() < 0.01      # nibble-cap residual
+    assert 0.0001 < (dv > 127).mean() < 0.01    # int8-cap residual
+    return AD, DP, d["donor"]
+
+
+def test_midscale_ladder_bitmatch(midscale_pool):
+    """Randomized mid-scale property test (VERDICT r3 item 7): at
+    ~1.3M nnz with realistic residual fractions, the int8-hybrid and
+    packed-hybrid layouts bit-match the f64 dense contraction, and
+    full f64 fits from the same init produce IDENTICAL donor calls on
+    every cell."""
+    from vireo_tpu.models.vireo import (VireoConfig, init_state,
+                                        default_priors, fit_vb)
+
+    AD, DP, truth = midscale_pool
+    coo = sparse_counts(AD, DP, dtype=jnp.float64)
+    h8 = hybrid_from_coo(coo, 127, "int8")
+    hp = hybrid_from_coo(coo, PACK_MAX, "packed")
+    ref = dense_counts(AD, DP, dtype=jnp.float64)
+    assert h8.resid_nnz > 0 and hp.resid_nnz > h8.resid_nnz
+
+    # contraction bit-match vs the f64 dense reference
+    rng = np.random.RandomState(0)
+    W = jnp.asarray(rng.rand(ref.n_cell, 4))
+    S1r, SSr = (np.asarray(x) for x in ref.suff_stats(W))
+    scale = np.abs(S1r).max()
+    for h, tol in [(h8, 1e-11), (hp, 1e-6)]:
+        S1h, SSh = (np.asarray(x) for x in h.suff_stats(W))
+        np.testing.assert_allclose(S1h, S1r, rtol=tol, atol=tol * scale)
+        np.testing.assert_allclose(SSh, SSr, rtol=tol, atol=tol * scale)
+        np.testing.assert_allclose(float(h.binom_coeff_sum()),
+                                   float(ref.binom_coeff_sum()),
+                                   rtol=1e-9)
+    Wa = jnp.asarray(rng.randn(ref.n_var, 4))
+    Wd = jnp.asarray(rng.randn(ref.n_var, 4))
+    want = np.asarray(ref.cell_loglik(Wa, Wd))
+    lscale = np.abs(want).max()
+    np.testing.assert_allclose(np.asarray(h8.cell_loglik(Wa, Wd)), want,
+                               rtol=1e-11, atol=1e-11 * lscale)
+    np.testing.assert_allclose(np.asarray(hp.cell_loglik(Wa, Wd)), want,
+                               rtol=1e-6, atol=1e-6 * lscale)
+
+    # end-to-end: f64 fits from one init converge to identical calls
+    cfg = VireoConfig(n_var=ref.n_var, n_cell=ref.n_cell, n_donor=4)
+    state = init_state(cfg, rng=np.random.RandomState(7),
+                       dtype=jnp.float64)
+    priors = default_priors(cfg, dtype=jnp.float64)
+    fits = {name: fit_vb(c, state, priors, cfg, max_iter=200,
+                         min_iter=20)
+            for name, c in [("dense", ref), ("h8", h8), ("hp", hp)]}
+    calls = {k: np.argmax(np.asarray(r.state.id_prob), 1)
+             for k, r in fits.items()}
+    np.testing.assert_array_equal(calls["h8"], calls["dense"])
+    np.testing.assert_array_equal(calls["hp"], calls["dense"])
+    np.testing.assert_allclose(float(fits["h8"].elbo_final),
+                               float(fits["dense"].elbo_final),
+                               rtol=1e-10)
+    np.testing.assert_allclose(float(fits["hp"].elbo_final),
+                               float(fits["dense"].elbo_final), rtol=1e-6)
+
+    # and the calls recover the simulated truth
+    from vireo_tpu.ops.matching import optimal_match
+    id_d = np.asarray(fits["dense"].state.id_prob)
+    _, perm = optimal_match(np.eye(4)[truth], id_d, axis=1)
+    assert (np.argmax(id_d[:, perm], 1) == truth).mean() > 0.95
+
+
 def test_wrap_places_prebuilt_hybrid_on_mesh(heavy_data):
     """A pre-built HybridCounts passed to vireo_wrap with an explicit
     mesh gets its base cell-sharded and residual replicated; the run
