@@ -28,16 +28,19 @@ __all__ = ["vireo_wrap"]
 
 
 def _cell_sharding(mesh):
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    from ..parallel.mesh import CELL_AXIS
-    return NamedSharding(mesh, P(None, CELL_AXIS))
+    """Sharding for the (n_var, n_cell) count matrices: cells always,
+    variants too on a 2-D capacity mesh."""
+    from jax.sharding import NamedSharding
+    from ..parallel.mesh import count_spec
+    return NamedSharding(mesh, count_spec(mesh))
 
 
 def _resolve_mesh(mesh, n_cell):
     """mesh="auto": shard cells over all local devices when the data is
     big enough to pay for collectives (VIREO_MESH=off disables;
-    VIREO_MESH_MIN_CELLS tunes the threshold). Explicit Mesh / None pass
-    through."""
+    VIREO_MESH_MIN_CELLS tunes the threshold; VIREO_MESH_SHAPE="2x4"
+    builds a 2-D vars-x-cells capacity mesh instead). Explicit Mesh /
+    None pass through."""
     if mesh != "auto":
         return mesh
     import os
@@ -45,7 +48,11 @@ def _resolve_mesh(mesh, n_cell):
         return None
     min_cells = int(os.environ.get("VIREO_MESH_MIN_CELLS", 8192))
     if n_cell >= min_cells and len(jax.devices()) > 1:
-        from ..parallel.mesh import make_mesh
+        from ..parallel.mesh import make_mesh, make_mesh2d
+        shape = os.environ.get("VIREO_MESH_SHAPE", "")
+        if shape:
+            nv, nc = (int(s) for s in shape.lower().split("x"))
+            return make_mesh2d(nv, nc)
         return make_mesh()
     return None
 
@@ -78,7 +85,8 @@ def _as_counts(AD, DP, dtype, mesh=None, verbose=False):
             return counts, False
         if _mesh_native(counts):
             return counts, True
-        size = int(mesh.devices.size)
+        from ..parallel.mesh import n_cell_shards
+        size = n_cell_shards(mesh)
         if isinstance(counts, DenseCounts) and counts.n_cell % size == 0:
             sh = _cell_sharding(mesh)
             counts = DenseCounts(jax.device_put(counts.ad, sh),
@@ -220,17 +228,19 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
     # count so a padded mesh run reproduces the unpadded seeded run)
     n_pad_cells = 0
     if mesh is not None and not hasattr(AD, "suff_stats"):
-        rem = n_cell_in % int(mesh.devices.size)
+        from ..parallel.mesh import n_cell_shards
+        shards = n_cell_shards(mesh)
+        rem = n_cell_in % shards
         if rem:
-            n_pad_cells = int(mesh.devices.size) - rem
+            n_pad_cells = shards - rem
             AD = _pad_cells(AD, n_pad_cells)
             DP = _pad_cells(DP, n_pad_cells)
     with phase("data_placement"):
         counts, mesh_placed = _as_counts(AD, DP, dtype, mesh=mesh,
                                          verbose=verbose)
     if mesh_placed and verbose:
-        print("[vireo] cell axis sharded over %d devices"
-              % mesh.devices.size)
+        print("[vireo] counts sharded over %d devices (mesh %s)"
+              % (mesh.devices.size, dict(mesh.shape)))
 
     if learn_GT is False and n_extra_donor > 0:
         print("Searching from extra donors only works with learn_GT")
@@ -327,13 +337,20 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
                                                 axis=1))
             if mesh is not None and isinstance(counts, DenseCounts):
                 # place the (R, C, K) assignment batch cell-sharded next
-                # to the data; GT/theta stay replicated
+                # to the data; the (R, V, K, G) genotype batch follows
+                # the variant axis on a 2-D mesh; theta stays replicated
                 from jax.sharding import NamedSharding, PartitionSpec as P
-                from ..parallel.mesh import CELL_AXIS
+                from ..parallel.mesh import CELL_AXIS, VAR_AXIS
                 id_sh = NamedSharding(mesh, P(None, CELL_AXIS, None))
                 batched = dataclasses.replace(
                     batched,
                     id_prob=jax.device_put(batched.id_prob, id_sh))
+                if VAR_AXIS in mesh.axis_names:
+                    gt_sh = NamedSharding(
+                        mesh, P(None, VAR_AXIS, None, None))
+                    batched = dataclasses.replace(
+                        batched,
+                        gt_prob=jax.device_put(batched.gt_prob, gt_sh))
             warm = jax.vmap(lambda st: fit_vb(
                 counts, st, priors, cfg, max_iter=max_iter_init,
                 min_iter=5, delay_fit_theta=delay_fit_theta))(batched)

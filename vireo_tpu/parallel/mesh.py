@@ -30,11 +30,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.counts import DenseCounts, SparseCounts
 from ..models.vireo import fit_vb, FitResult
 
-__all__ = ["make_mesh", "initialize_distributed", "fit_vb_auto",
-           "warm_restarts_auto", "ShardedCounts",
-           "build_cell_sharded_coo", "sharded_fit_vb"]
+__all__ = ["make_mesh", "make_mesh2d", "initialize_distributed",
+           "fit_vb_auto", "warm_restarts_auto", "ShardedCounts",
+           "build_cell_sharded_coo", "sharded_fit_vb", "count_spec",
+           "n_cell_shards"]
 
 CELL_AXIS = "cells"
+VAR_AXIS = "vars"
 
 
 def make_mesh(n_devices=None, devices=None, axis=CELL_AXIS):
@@ -43,6 +45,44 @@ def make_mesh(n_devices=None, devices=None, axis=CELL_AXIS):
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis,))
+
+
+def make_mesh2d(n_var_shards, n_cell_shards=None, devices=None):
+    """2-D (vars x cells) mesh: the capacity axis for pools whose
+    (n_var x n_cell_shard) dense block exceeds one chip's HBM even at
+    a nibble per count — the variant axis shards too, dividing the
+    per-chip count bytes by BOTH mesh extents. GT_prob and the theta
+    digamma tables follow the variant sharding under GSPMD; the
+    per-iteration collectives become a cells-axis psum of the (V_shard,
+    K) statistics plus a vars-axis psum of the (C_shard, K) logliks.
+
+    The reference has no analog at any scale (SURVEY §5 long-context);
+    1-D cell sharding (`make_mesh`) stays the default until the dense
+    budget check fails.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_cell_shards is None:
+        n_cell_shards = len(devices) // n_var_shards
+    n = n_var_shards * n_cell_shards
+    assert n <= len(devices), (
+        "mesh %dx%d needs %d devices, have %d"
+        % (n_var_shards, n_cell_shards, n, len(devices)))
+    grid = np.array(devices[:n]).reshape(n_var_shards, n_cell_shards)
+    return Mesh(grid, (VAR_AXIS, CELL_AXIS))
+
+
+def count_spec(mesh):
+    """PartitionSpec for the (n_var, n_cell) count matrices on `mesh`:
+    cells always shard; variants shard too when the mesh has a vars
+    axis (2-D capacity layout)."""
+    var_ax = VAR_AXIS if VAR_AXIS in mesh.axis_names else None
+    return P(var_ax, CELL_AXIS)
+
+
+def n_cell_shards(mesh):
+    """Number of shards along the cell axis (1-D: every device)."""
+    return int(mesh.shape[CELL_AXIS])
 
 
 def initialize_distributed(coordinator_address=None, num_processes=None,
@@ -91,22 +131,41 @@ def _put_global(mesh, x, spec):
 # ---------------------------------------------------------------------
 
 def fit_vb_auto(mesh, counts, state, priors, cfg, **fit_kwargs):
-    """Shard dense counts and ID_prob over cells, replicate parameters,
-    and let the SPMD partitioner insert the all-reduces."""
+    """Shard dense counts over the mesh (cells, plus variants on a 2-D
+    mesh), shard ID_prob over cells and GT_prob over variants, and let
+    the SPMD partitioner insert the all-reduces."""
     assert isinstance(counts, DenseCounts), "auto path expects DenseCounts"
-    cell_sh = NamedSharding(mesh, P(None, CELL_AXIS))      # (V, C)
+    spec = count_spec(mesh)
+    var_ax = spec[0]                                       # None on 1-D
+    cnt_sh = NamedSharding(mesh, spec)                     # (V, C)
     id_sh = NamedSharding(mesh, P(CELL_AXIS, None))        # (C, K)
+    gt_sh = NamedSharding(mesh, P(var_ax, None, None))     # (V, K, G)
     rep = NamedSharding(mesh, P())
 
-    counts = DenseCounts(jax.device_put(counts.ad, cell_sh),
-                         jax.device_put(counts.dp, cell_sh))
+    def theta_sh(x):
+        # (theta_len, G): per-variant only in ASE mode
+        ax = var_ax if x.shape[0] == cfg.n_var else None
+        return NamedSharding(mesh, P(ax, None))
+
+    counts = DenseCounts(jax.device_put(counts.ad, cnt_sh),
+                         jax.device_put(counts.dp, cnt_sh))
     state = dataclasses.replace(
         state,
         id_prob=jax.device_put(state.id_prob, id_sh),
-        gt_prob=jax.device_put(state.gt_prob, rep),
-        beta_mu=jax.device_put(state.beta_mu, rep),
-        beta_sum=jax.device_put(state.beta_sum, rep))
-    priors = jax.tree.map(lambda x: jax.device_put(x, rep), priors)
+        gt_prob=jax.device_put(state.gt_prob, gt_sh),
+        beta_mu=jax.device_put(state.beta_mu, theta_sh(state.beta_mu)),
+        beta_sum=jax.device_put(state.beta_sum,
+                                theta_sh(state.beta_sum)))
+    priors = dataclasses.replace(
+        priors,
+        theta_s1=jax.device_put(priors.theta_s1,
+                                theta_sh(priors.theta_s1)),
+        theta_s2=jax.device_put(priors.theta_s2,
+                                theta_sh(priors.theta_s2)),
+        id_log=jax.device_put(priors.id_log, rep),
+        gt_log=jax.device_put(
+            priors.gt_log,
+            gt_sh if priors.gt_log.shape[0] == cfg.n_var else rep))
     return fit_vb(counts, state, priors, cfg, **fit_kwargs)
 
 
