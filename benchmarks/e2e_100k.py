@@ -36,6 +36,11 @@ def main():
     n_cell = int(os.environ.get("E2E_CELLS", 100_000))
     n_donor = int(os.environ.get("E2E_DONORS", 16))
     n_init = int(os.environ.get("E2E_INIT", 20))
+    # unseeded by default — the production default, which draws the
+    # warm-restart inits on device (no ~250 MB host upload). Set
+    # E2E_SEED for the reference-RNG-parity host-init path.
+    seed = os.environ.get("E2E_SEED")
+    seed = int(seed) if seed else None
     doublet_rate = 0.08
 
     t0 = time.time()
@@ -48,7 +53,7 @@ def main():
 
     t0 = time.time()
     res = vireo_wrap(d["counts"], n_donor=n_donor, n_init=n_init,
-                     random_seed=1, check_doublet=True, verbose=False,
+                     random_seed=seed, check_doublet=True, verbose=False,
                      checkpoint_dir=os.environ.get("E2E_CHECKPOINT_DIR"),
                      timing=os.environ.get("VIREO_TIMING") == "1" or None)
     t_fit = time.time() - t0

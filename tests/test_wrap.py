@@ -184,3 +184,44 @@ def test_device_init_runs_and_is_deterministic(small_data, monkeypatch):
     pred = np.argmax(r1["ID_prob"], axis=1)
     conf, _, _ = get_confusion(pred, donor)
     assert conf.max(axis=0).sum() / conf.sum() > 0.9
+
+
+def test_device_init_default_unseeded(small_data, monkeypatch):
+    """Unseeded runs default to on-device inits; an explicit seed (or
+    VIREO_DEVICE_INIT=0) keeps the reference-parity host np.random
+    path (round-4 default change)."""
+    import vireo_tpu.engine.wrap as W
+    AD, DP, _ = small_data
+    hits = []
+    orig = W._device_batched_init
+    monkeypatch.setattr(
+        W, "_device_batched_init",
+        lambda *a, **k: (hits.append(1), orig(*a, **k))[1])
+    kw = dict(n_donor=3, n_init=2, check_doublet=False, verbose=False,
+              mesh=None)
+
+    monkeypatch.delenv("VIREO_DEVICE_INIT", raising=False)
+    W.vireo_wrap(AD, DP, **kw)
+    assert hits, "unseeded run should use device init"
+
+    hits.clear()
+    W.vireo_wrap(AD, DP, random_seed=3, **kw)
+    assert not hits, "seeded run must keep the host np.random path"
+
+    hits.clear()
+    monkeypatch.setenv("VIREO_DEVICE_INIT", "0")
+    W.vireo_wrap(AD, DP, **kw)
+    assert not hits, "VIREO_DEVICE_INIT=0 must force the host path"
+
+    # unseeded device inits remain run-to-run random: the key is drawn
+    # from the global np stream, not pinned
+    monkeypatch.delenv("VIREO_DEVICE_INIT", raising=False)
+    seeds = []
+    monkeypatch.setattr(
+        W, "_device_batched_init",
+        lambda cfg, n, seed, gp, dt: (seeds.append(seed),
+                                      orig(cfg, n, seed, gp, dt))[1])
+    np.random.seed(0)
+    W.vireo_wrap(AD, DP, **kw)
+    W.vireo_wrap(AD, DP, **kw)
+    assert len(seeds) == 2 and seeds[0] != seeds[1]

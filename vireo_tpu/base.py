@@ -4,7 +4,8 @@
 
 from .ops.math import (normalize, loglik_amplify, beta_entropy,
                        get_binom_coeff)
-from .ops.matching import match, optimal_match, donor_select, get_confusion
+from .ops.matching import (match, optimal_match, greed_match,
+                           donor_select, get_confusion)
 
 import numpy as np
 from scipy.special import gammaln
@@ -28,6 +29,3 @@ def logbincoeff(n, k, is_sparse=False):
     return RV
 
 
-def greed_match(X, Z, axis=1):
-    print("This method has been dispatched, please use optimal_match!")
-    return optimal_match(X, Z, axis=axis)[1]

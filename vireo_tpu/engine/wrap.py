@@ -316,7 +316,12 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
     else:
         with phase("warm_restarts"):
             if device_init:
-                batched = _device_batched_init(cfg, n_init, random_seed,
+                # unseeded runs stay run-to-run random (reference
+                # semantics: inits ride the global np stream) by
+                # deriving the device key from that stream
+                dseed = random_seed if random_seed is not None \
+                    else int(rng.randint(2 ** 31))
+                batched = _device_batched_init(cfg, n_init, dseed,
                                                GT_prior_use, dtype)
             else:
                 # draw at the TRUE cell count (padded cells carry zero

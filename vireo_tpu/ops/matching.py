@@ -9,7 +9,8 @@ implemented with vectorized numpy rather than the reference's loops.
 import numpy as np
 from scipy.optimize import linear_sum_assignment
 
-__all__ = ["match", "optimal_match", "donor_select", "get_confusion"]
+__all__ = ["match", "optimal_match", "greed_match", "donor_select",
+           "get_confusion"]
 
 
 def match(ref_ids, new_ids, uniq_ref_only=True):
@@ -67,6 +68,13 @@ def optimal_match(X, Z, axis=1, return_delta=False):
     if return_delta:
         return idx0, idx1, diff_mat
     return idx0, idx1
+
+
+def greed_match(X, Z, axis=1):
+    """Deprecated upstream (vireo_base.py:209-215); kept only for API
+    completeness. Use `optimal_match`."""
+    print("This method has been dispatched, please use optimal_match!")
+    return optimal_match(X, Z, axis=axis)[1]
 
 
 def donor_select(GT_prob, ID_prob, n_donor, mode="distance", verbose=True):
