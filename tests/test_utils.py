@@ -147,3 +147,19 @@ def test_host_fetch_single_process_noop():
     assert isinstance(out, np.ndarray)
     np.testing.assert_array_equal(out, np.arange(6.0).reshape(2, 3))
     np.testing.assert_array_equal(host_fetch(np.ones(3)), np.ones(3))
+
+
+def test_vireo_profile_env_captures_trace(tmp_path, monkeypatch,
+                                          small_data):
+    """VIREO_PROFILE=<dir> wraps the orchestrator in a JAX profiler
+    trace; the directory gains a trace artifact."""
+    from vireo_tpu.engine.wrap import vireo_wrap
+    import os
+    AD, DP, _ = small_data
+    trace_dir = str(tmp_path / "trace")
+    monkeypatch.setenv("VIREO_PROFILE", trace_dir)
+    vireo_wrap(AD, DP, n_donor=3, n_init=2, random_seed=1,
+               check_doublet=False, verbose=False, mesh=None)
+    found = [os.path.join(r, f) for r, _, fs in os.walk(trace_dir)
+             for f in fs]
+    assert found, "no profiler artifacts written"

@@ -175,6 +175,21 @@ def _model_from_state(counts, cfg_kwargs, n_donor, learn_GT, state,
     return m
 
 
+def _profiled(fn):
+    """VIREO_PROFILE=<dir> captures a JAX profiler trace of the whole
+    run (view with TensorBoard/xprof); no-op otherwise."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        import os
+        from ..utils.timing import profile_trace
+        with profile_trace(os.environ.get("VIREO_PROFILE")):
+            return fn(*args, **kwargs)
+    return wrapper
+
+
+@_profiled
 def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
                n_init=20, random_seed=None, check_doublet=True,
                max_iter_init=20, delay_fit_theta=3, n_extra_donor=0,

@@ -153,10 +153,14 @@ def predit_ambient(vobj, AD, DP, nproc=None, min_ELBO_gain=None, rng=None):
     Psi, Psi_var, Psi_llr = fit_em_ambient_batch(
         ad_cells, dp_cells,
         jnp.asarray(theta_sel, dtype), jnp.asarray(psi0, dtype))
+    # materialize before stopping the clock (dispatch is async; the
+    # printed time should cover the actual EM work)
+    Psi, Psi_var, Psi_llr = (np.asarray(Psi), np.asarray(Psi_var),
+                             np.asarray(Psi_llr))
 
     stop = timeit.default_timer()
     print('[vireo] Ambient RNA time: %.1f sec' % (stop - start))
-    return np.asarray(Psi), np.asarray(Psi_var), np.asarray(Psi_llr)
+    return Psi, Psi_var, Psi_llr
 
 
 # preferred (correctly spelled) alias
