@@ -9,9 +9,9 @@ chunking, vireo.py:136-142):
   hybrid -> nibble-packed (+hybrid) -> COO), printing its choice;
 - `vireo_wrap(mesh="auto")` cell-shards the layout over all local
   devices for big pools;
-- `VIREO_DEVICE_INIT=1` draws restart inits on device (skips the
-  host np.random upload; deterministic in the seed, not stream-
-  compatible with the reference's RNG).
+- unseeded runs draw restart inits on device by default (no host
+  np.random upload); an explicit random_seed keeps the host draws
+  for reference-RNG parity (VIREO_DEVICE_INIT=1/0 forces either).
 
 The default sizing here is laptop-friendly; scale the env knobs up on
 real hardware (benchmarks/e2e_100k.py and e2e_hybrid.py run the

@@ -119,3 +119,37 @@ def test_k_sweep_recovers_true_donor_count():
     _, perm = optimal_match(np.eye(4)[truth], res["ID_prob"], axis=1)
     acc = (np.argmax(res["ID_prob"][:, perm], 1) == truth).mean()
     assert acc > 0.95
+
+
+def test_ambient_chunked_cols_matches_batch():
+    """The chunked column-reading EM (_ambient_em_cols, the north-star
+    path) produces the same psi/var/LLR as the straight vmapped batch,
+    including the overlapped final chunk."""
+    import jax.numpy as jnp
+    from vireo_tpu.models.ambient import (fit_em_ambient_batch,
+                                          _ambient_em_cols)
+    rng = np.random.RandomState(0)
+    V, C, K, n_sel = 40, 53, 3, 17           # C % chunk != 0 on purpose
+    dp = (rng.rand(V, C) < 0.5) * rng.poisson(8, (V, C))
+    ad = rng.binomial(dp, 0.4)
+    sel = np.sort(rng.choice(V, n_sel, replace=False))
+    theta = jnp.asarray(rng.rand(n_sel, K) * 0.9 + 0.05, jnp.float64)
+    psi0 = jnp.asarray(rng.dirichlet([1.0] * K, size=C), jnp.float64)
+
+    ad_j = jnp.asarray(ad, jnp.float64)
+    dp_j = jnp.asarray(dp, jnp.float64)
+    want = fit_em_ambient_batch(ad_j[sel].T, dp_j[sel].T, theta, psi0)
+    got = _ambient_em_cols(ad_j, dp_j, jnp.asarray(sel), theta, psi0,
+                           cell_chunk=16)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-12, atol=1e-12)
+
+    # int8 storage feeds the same float math
+    got8 = _ambient_em_cols(jnp.asarray(ad, jnp.int8),
+                            jnp.asarray(dp, jnp.int8),
+                            jnp.asarray(sel), theta, psi0,
+                            cell_chunk=16)
+    for g, w in zip(got8, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-12, atol=1e-12)
