@@ -363,3 +363,31 @@ def test_wrap_places_prebuilt_hybrid_on_mesh(heavy_data):
     np.testing.assert_allclose(
         res["ID_prob"].sum(1) + res["doublet_prob"].sum(1), 1.0,
         rtol=1e-4)
+
+
+@pytest.mark.parametrize("cap,kind", [(127, "int8"), (PACK_MAX, "packed")])
+@pytest.mark.parametrize("start,stop", [(0, 8), (7, 24), (13, 39), (1, 40)])
+def test_cell_slice_matches_dense(heavy_data, cap, kind, start, stop):
+    """cell_slice slices base + residual without densifying the full
+    matrix; values, contractions and the binomial correction stay
+    exact (incl. odd packed-byte boundaries)."""
+    AD, DP = heavy_data
+    h, _ = _hybrid(heavy_data, cap, kind)
+    hs = h.cell_slice(start, stop)
+    ref = dense_counts(AD.toarray()[:, start:stop],
+                       DP.toarray()[:, start:stop], dtype=jnp.float64)
+    d = hs.densify()
+    np.testing.assert_allclose(np.asarray(d.ad),
+                               AD.toarray()[:, start:stop])
+    np.testing.assert_allclose(np.asarray(d.dp),
+                               DP.toarray()[:, start:stop])
+    np.testing.assert_allclose(float(hs.binom_coeff_sum()),
+                               float(ref.binom_coeff_sum()), rtol=1e-8)
+    rng = np.random.RandomState(1)
+    W = jnp.asarray(rng.rand(stop - start, 4))
+    S1h, SSh = hs.suff_stats(W)
+    S1r, SSr = ref.suff_stats(W)
+    np.testing.assert_allclose(np.asarray(S1h), np.asarray(S1r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(SSh), np.asarray(SSr),
+                               rtol=1e-4, atol=1e-4)

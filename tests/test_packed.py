@@ -181,3 +181,17 @@ def test_em_fit_on_packed():
         np.eye(3)[truth], id_d, axis=1)
     acc = (np.argmax(id_d[conf][:, i1], 1) == truth[conf]).mean()
     assert acc > 0.95
+
+
+@pytest.mark.parametrize("start,stop", [(0, 10), (3, 17), (4, 18), (5, 5)])
+def test_packed_cell_slice_unpacks_byte_range(start, stop):
+    """PackedCounts.cell_slice unpacks only the covering byte range;
+    odd/even starts and stops all land on the right cells."""
+    rng = np.random.RandomState(8)
+    V, C = 24, 22
+    dp = (rng.rand(V, C) < 0.6) * rng.randint(0, 16, (V, C))
+    ad = np.minimum(rng.randint(0, 16, (V, C)), dp)
+    pc = pack_dense(ad.astype(np.float64), dp.astype(np.float64))
+    sl = pc.cell_slice(start, stop)
+    np.testing.assert_array_equal(np.asarray(sl.ad), ad[:, start:stop])
+    np.testing.assert_array_equal(np.asarray(sl.dp), dp[:, start:stop])
