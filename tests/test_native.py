@@ -73,3 +73,40 @@ def test_fallback_when_disabled(monkeypatch):
     assert fast.load_cell_vcf_fast("x.vcf") is None
     assert fast.load_variants_fast("x.vcf") is None
     assert fast.read_mtx_fast("x.mtx") is None
+
+
+def test_mtx_native_csc_unsorted_and_duplicates(tmp_path):
+    """The native CSC builder canonicalizes shuffled entry order, and
+    files with duplicate (row, col) entries fall back to the summing
+    scipy builder — both byte-equal to scipy.io.mmread."""
+    import scipy.io
+    import scipy.sparse as sp
+    from vireo_tpu.io.fast import read_mtx_fast, native_available
+    if not native_available():
+        pytest.skip("native library unavailable")
+
+    rng = np.random.RandomState(0)
+    M = sp.random(37, 23, density=0.3, random_state=rng, format="coo")
+    order = rng.permutation(M.nnz)
+
+    shuffled = tmp_path / "shuffled.mtx"
+    with open(shuffled, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real general\n")
+        f.write("37 23 %d\n" % M.nnz)
+        for i in order:
+            f.write("%d %d %.6g\n" % (M.row[i] + 1, M.col[i] + 1,
+                                      M.data[i]))
+    got = read_mtx_fast(str(shuffled))
+    want = scipy.io.mmread(str(shuffled)).tocsc()
+    assert (got != want).nnz == 0
+    assert got.has_sorted_indices
+
+    dup = tmp_path / "dup.mtx"
+    with open(dup, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate integer general\n")
+        f.write("4 3 5\n")
+        f.write("1 1 2\n2 2 3\n1 1 5\n4 3 1\n2 2 1\n")  # dups sum
+    got = read_mtx_fast(str(dup))
+    want = scipy.io.mmread(str(dup)).tocsc()
+    assert (got != want).nnz == 0
+    assert got[0, 0] == 7 and got[1, 1] == 4

@@ -69,6 +69,12 @@ def _build():
                                ctypes.POINTER(ctypes.c_int32),
                                ctypes.POINTER(ctypes.c_int32),
                                ctypes.POINTER(ctypes.c_double)]
+    lib.mmread_csc.restype = ctypes.c_int64
+    lib.mmread_csc.argtypes = [ctypes.c_char_p,
+                               ctypes.POINTER(ctypes.c_int64),
+                               ctypes.POINTER(ctypes.c_int64),
+                               ctypes.POINTER(ctypes.c_int32),
+                               ctypes.POINTER(ctypes.c_double)]
     return lib
 
 

@@ -13,10 +13,12 @@
 
 #include <zlib.h>
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -125,6 +127,55 @@ inline double parse_axis_value(const char* s, size_t len, int axis) {
   memcpy(tmp, p, n);
   tmp[n] = '\0';
   return strtod(tmp, nullptr);
+}
+
+// Bounded in-place integer parse (no NUL termination needed) —
+// replaces the per-line memcpy + strtoll that dominated mtx parsing.
+inline int64_t parse_int_fast(const char** pp, const char* lim) {
+  const char* p = *pp;
+  while (p < lim && (*p == ' ' || *p == '\t')) ++p;
+  bool neg = false;
+  if (p < lim && (*p == '+' || *p == '-')) {
+    neg = (*p == '-');
+    ++p;
+  }
+  int64_t v = 0;
+  while (p < lim && *p >= '0' && *p <= '9') v = v * 10 + (*p++ - '0');
+  *pp = p;
+  return neg ? -v : v;
+}
+
+// Numeric value parse with an integer fast path (count matrices are
+// "integer" field); decimals/exponents fall back to strtod on a
+// bounded copy.  An absent value ("pattern" field) reads as 1.0.
+inline double parse_val_fast(const char** pp, const char* lim) {
+  const char* p = *pp;
+  while (p < lim && (*p == ' ' || *p == '\t')) ++p;
+  if (p == lim) {
+    *pp = p;
+    return 1.0;
+  }
+  const char* s = p;
+  bool neg = false;
+  if (*p == '+' || *p == '-') {
+    neg = (*p == '-');
+    ++p;
+  }
+  int64_t ip = 0;
+  while (p < lim && *p >= '0' && *p <= '9') ip = ip * 10 + (*p++ - '0');
+  if (p == lim || *p == ' ' || *p == '\t') {
+    *pp = p;
+    return neg ? -static_cast<double>(ip) : static_cast<double>(ip);
+  }
+  char tmp[64];
+  size_t n = static_cast<size_t>(lim - s);
+  if (n >= sizeof(tmp)) n = sizeof(tmp) - 1;
+  memcpy(tmp, s, n);
+  tmp[n] = '\0';
+  char* end;
+  double v = strtod(tmp, &end);
+  *pp = s + (end - tmp);
+  return v;
 }
 
 inline bool all_dots(const char* s, size_t len) {
@@ -377,15 +428,99 @@ int64_t mmread_coo(const char* path, int64_t* shape_out, int32_t* rows,
   int64_t k = 0;
   while (k < nnz && reader.next(&line, &len)) {
     if (len == 0) continue;
-    size_t m = len < sizeof(tmp) - 1 ? len : sizeof(tmp) - 1;
-    memcpy(tmp, line, m);
-    tmp[m] = '\0';
-    rows[k] = static_cast<int32_t>(strtoll(tmp, &end, 10) - 1);
-    cols[k] = static_cast<int32_t>(strtoll(end, &end, 10) - 1);
-    vals[k] = strtod(end, &end);
+    const char* p = line;
+    const char* lim = line + len;
+    rows[k] = static_cast<int32_t>(parse_int_fast(&p, lim) - 1);
+    cols[k] = static_cast<int32_t>(parse_int_fast(&p, lim) - 1);
+    vals[k] = parse_val_fast(&p, lim);
     ++k;
   }
   return k;
+}
+
+// MatrixMarket coordinate file -> canonical CSC in one native pass.
+// Counting sort by column (O(nnz)) replaces scipy's COO->CSC
+// conversion, which costs ~2x the parse itself at 30M entries.
+// Two-call protocol like mmread_coo: first call with indptr==nullptr
+// fills shape_out {n_row, n_col, nnz}; the second fills indptr
+// (n_col+1 int64), indices (nnz int32, row ids sorted within each
+// column) and vals (nnz double).  Returns nnz, -1 on parse error, or
+// -2 when duplicate (row, col) entries exist (caller must fall back
+// to a summing builder).
+int64_t mmread_csc(const char* path, int64_t* shape_out, int64_t* indptr,
+                   int32_t* indices, double* vals) {
+  LineReader reader(path);
+  if (!reader.ok()) return -1;
+  const char* line;
+  size_t len;
+  if (!reader.next(&line, &len)) return -1;
+  if (len < 14 || memcmp(line, "%%MatrixMarket", 14) != 0) return -1;
+  for (;;) {
+    if (!reader.next(&line, &len)) return -1;
+    if (len > 0 && line[0] != '%') break;
+  }
+  {
+    const char* p = line;
+    const char* lim = line + len;
+    shape_out[0] = parse_int_fast(&p, lim);
+    shape_out[1] = parse_int_fast(&p, lim);
+    shape_out[2] = parse_int_fast(&p, lim);
+  }
+  int64_t n_col = shape_out[1];
+  int64_t nnz = shape_out[2];
+  if (indptr == nullptr) return nnz;
+
+  std::vector<int32_t> rows(nnz), cols(nnz);
+  std::vector<double> v(nnz);
+  int64_t k = 0;
+  while (k < nnz && reader.next(&line, &len)) {
+    if (len == 0) continue;
+    const char* p = line;
+    const char* lim = line + len;
+    rows[k] = static_cast<int32_t>(parse_int_fast(&p, lim) - 1);
+    cols[k] = static_cast<int32_t>(parse_int_fast(&p, lim) - 1);
+    v[k] = parse_val_fast(&p, lim);
+    ++k;
+  }
+  if (k != nnz) return -1;
+
+  // stable counting sort by column
+  memset(indptr, 0, sizeof(int64_t) * (n_col + 1));
+  for (int64_t i = 0; i < nnz; ++i) {
+    if (cols[i] < 0 || cols[i] >= n_col) return -1;
+    ++indptr[cols[i] + 1];
+  }
+  for (int64_t c = 0; c < n_col; ++c) indptr[c + 1] += indptr[c];
+  std::vector<int64_t> next(indptr, indptr + n_col);
+  for (int64_t i = 0; i < nnz; ++i) {
+    int64_t dst = next[cols[i]]++;
+    indices[dst] = rows[i];
+    vals[dst] = v[i];
+  }
+  // canonicalize: sort rows within any column the file order left
+  // unsorted (row-major and column-major files are already sorted)
+  std::vector<std::pair<int32_t, double>> scratch;
+  for (int64_t c = 0; c < n_col; ++c) {
+    int64_t lo = indptr[c], hi = indptr[c + 1];
+    bool sorted = true;
+    for (int64_t i = lo + 1; i < hi; ++i) {
+      if (indices[i] <= indices[i - 1]) {
+        if (indices[i] == indices[i - 1]) return -2;  // duplicate
+        sorted = false;
+      }
+    }
+    if (sorted) continue;
+    scratch.resize(hi - lo);
+    for (int64_t i = lo; i < hi; ++i)
+      scratch[i - lo] = {indices[i], vals[i]};
+    std::sort(scratch.begin(), scratch.end());
+    for (int64_t i = lo; i < hi; ++i) {
+      indices[i] = scratch[i - lo].first;
+      vals[i] = scratch[i - lo].second;
+      if (i > lo && indices[i] == indices[i - 1]) return -2;
+    }
+  }
+  return nnz;
 }
 
 }  // extern "C"

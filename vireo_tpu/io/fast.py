@@ -111,13 +111,39 @@ def load_variants_fast(vcf_file, biallelic_only=False):
 
 def read_mtx_fast(path):
     """MatrixMarket coordinate file -> scipy CSC via the native parser;
-    None if unavailable (io_utils.py:57 semantics)."""
+    None if unavailable (io_utils.py:57 semantics).
+
+    The native pass builds canonical CSC directly (counting sort by
+    column) — scipy's COO->CSC conversion alone costs ~2x the parse at
+    30M entries. Files with duplicate (row, col) entries fall back to
+    the summing scipy builder (native returns -2)."""
     nat = _native_lib()
     if nat is None:
         return None
     from scipy.sparse import csc_matrix
 
     shape = (ctypes.c_int64 * 3)()
+    nnz = nat.mmread_csc(path.encode(), shape, None, None, None)
+    if nnz < 0:
+        return None
+    n_col = int(shape[1])
+    indptr = np.zeros(n_col + 1, np.int64)
+    indices = np.zeros(max(nnz, 1), np.int32)
+    vals = np.zeros(max(nnz, 1), np.float64)
+    got = nat.mmread_csc(
+        path.encode(), shape,
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if got == shape[2]:
+        M = csc_matrix((vals[:got], indices[:got], indptr),
+                       shape=(int(shape[0]), n_col))
+        M.has_sorted_indices = True      # the native sort guarantees it
+        return M
+    if got != -2:                        # parse error
+        return None
+
+    # duplicates present: COO parse + scipy's summing builder
     nnz = nat.mmread_coo(path.encode(), shape, None, None, None)
     if nnz < 0:
         return None
