@@ -110,3 +110,23 @@ def test_mtx_native_csc_unsorted_and_duplicates(tmp_path):
     want = scipy.io.mmread(str(dup)).tocsc()
     assert (got != want).nnz == 0
     assert got[0, 0] == 7 and got[1, 1] == 4
+
+
+def test_native_tsv_writer_matches_python(tmp_path):
+    """write_matrix_tsv_fast is byte-identical to the Python %-format
+    row loop (glibc vs CPython %.2e parity)."""
+    from vireo_tpu.io.fast import write_matrix_tsv_fast, native_available
+    from vireo_tpu.io.matrices import _write_tsv, _matrix_rows
+    if not native_available():
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(1)
+    mat = np.concatenate([rng.rand(40, 5), rng.rand(40, 5) * 1e-30,
+                          rng.randn(40, 5) * 1e3,
+                          np.zeros((1, 5))], axis=0)
+    names = ["cell%d-1" % i for i in range(mat.shape[0])]
+    cols = ["cell", "a", "b", "c", "d", "e"]
+    p_nat = tmp_path / "nat.tsv"
+    p_py = tmp_path / "py.tsv"
+    assert write_matrix_tsv_fast(str(p_nat), cols, names, mat, "%.2e")
+    _write_tsv(str(p_py), cols, _matrix_rows(names, mat, "%.2e"))
+    assert p_nat.read_bytes() == p_py.read_bytes()

@@ -75,6 +75,12 @@ def _build():
                                ctypes.POINTER(ctypes.c_int64),
                                ctypes.POINTER(ctypes.c_int32),
                                ctypes.POINTER(ctypes.c_double)]
+    lib.write_matrix_tsv.restype = ctypes.c_int64
+    lib.write_matrix_tsv.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                     ctypes.c_char_p,
+                                     ctypes.POINTER(ctypes.c_double),
+                                     ctypes.c_int64, ctypes.c_int64,
+                                     ctypes.c_char_p, ctypes.c_int32]
     return lib
 
 

@@ -523,4 +523,62 @@ int64_t mmread_csc(const char* path, int64_t* shape_out, int64_t* indptr,
   return nnz;
 }
 
+// Write a names + formatted-matrix TSV: `header` as the first line,
+// then one line per row: names[i] '\t' fmt%mat[i,0] ... '\t'
+// fmt%mat[i,n_cols-1].  `names` is a '\n'-joined blob with n_rows
+// entries.  glibc snprintf's %.*e output is byte-identical to
+// Python's float __mod__ (both correctly rounded, two-digit minimum
+// exponent) — verified by fuzz test.  `gzip_level` > 0 writes a gzip
+// member in the same pass (no temp file + `gzip` subprocess);
+// 0 writes plain bytes.  Returns 0 on success, -1 on error.  This
+// replaces a Python per-value format loop + external gzip that cost
+// ~17 s at the 100k-cell scale.
+int64_t write_matrix_tsv(const char* path, const char* header,
+                         const char* names, const double* mat,
+                         int64_t n_rows, int64_t n_cols, const char* fmt,
+                         int32_t gzip_level) {
+  char mode[8];
+  if (gzip_level > 0)
+    snprintf(mode, sizeof(mode), "wb%d", gzip_level > 9 ? 9 : gzip_level);
+  else
+    snprintf(mode, sizeof(mode), "wbT");  // 'T': transparent (no gzip)
+  gzFile f = gzopen(path, mode);
+  if (f == nullptr) return -1;
+  gzbuffer(f, 1 << 20);
+
+  std::string out;
+  out.reserve(1 << 20);
+  bool ok = true;
+  auto flush = [&](size_t keep_below) {
+    if (out.size() >= keep_below) {
+      if (gzwrite(f, out.data(), static_cast<unsigned>(out.size())) !=
+          static_cast<int>(out.size()))
+        ok = false;
+      out.clear();
+    }
+  };
+
+  out.append(header);
+  out.push_back('\n');
+  const char* name = names;
+  char buf[64];
+  for (int64_t i = 0; i < n_rows && ok; ++i) {
+    const char* nl = strchr(name, '\n');
+    size_t nlen = nl ? static_cast<size_t>(nl - name) : strlen(name);
+    out.append(name, nlen);
+    name = nl ? nl + 1 : name + nlen;
+    const double* row = mat + i * n_cols;
+    for (int64_t j = 0; j < n_cols; ++j) {
+      buf[0] = '\t';
+      int m = snprintf(buf + 1, sizeof(buf) - 1, fmt, row[j]);
+      out.append(buf, static_cast<size_t>(m + 1));
+    }
+    out.push_back('\n');
+    flush(1 << 19);
+  }
+  flush(1);
+  int rc = gzclose(f);
+  return (ok && rc == Z_OK) ? 0 : -1;
+}
+
 }  // extern "C"

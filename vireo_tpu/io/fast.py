@@ -15,7 +15,7 @@ import numpy as np
 from ._native import lib as _native_lib
 
 __all__ = ["native_available", "load_cell_vcf_fast", "load_variants_fast",
-           "read_mtx_fast"]
+           "read_mtx_fast", "write_matrix_tsv_fast"]
 
 _FIXED_KEYS = ["CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO"]
 
@@ -159,3 +159,24 @@ def read_mtx_fast(path):
         return None
     return csc_matrix((vals[:got], (rows[:got], cols[:got])),
                       shape=(shape[0], shape[1]))
+
+
+def write_matrix_tsv_fast(path, columns, names, mat, fmt,
+                          gzip_level=0):
+    """Write a names + formatted-matrix TSV via the native writer;
+    byte-identical to the Python `"fmt" % v` loop (fuzz-verified —
+    glibc and CPython both print correctly rounded %.*e with two-digit
+    exponents). `gzip_level` > 0 gzips in the same pass (no temp file
+    + subprocess). Returns False if the native library is unavailable
+    (caller falls back to the Python writer)."""
+    nat = _native_lib()
+    if nat is None:
+        return False
+    mat = np.ascontiguousarray(mat, np.float64)
+    header = "\t".join(columns)
+    blob = "\n".join(str(n) for n in names)
+    rc = nat.write_matrix_tsv(
+        path.encode(), header.encode(), blob.encode(),
+        mat.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        mat.shape[0], mat.shape[1], fmt.encode(), int(gzip_level))
+    return rc == 0

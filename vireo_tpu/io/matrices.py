@@ -172,12 +172,24 @@ def write_donor_id(out_dir, donor_names, cell_names, n_vars, res_vireo):
           best_pair[i], "%.3f" % llr[i]]
          for i in range(len(cell_names))))
 
-    _write_tsv(out_dir + "/prob_singlet.tsv",
-               ["cell"] + list(donor_names),
-               _matrix_rows(cell_names, singlet_p, "%.2e"))
-    _write_tsv(out_dir + "/prob_doublet.tsv",
-               ["cell"] + pair_names,
-               _matrix_rows(cell_names, pair_p, "%.2e"))
+    # big probability tables: native writer when available — byte-
+    # identical %.2e formatting, gzip fused into the same pass (the
+    # Python per-value loop + external gzip cost ~17 s at 100k cells)
+    from .fast import write_matrix_tsv_fast
+    native_gz = write_matrix_tsv_fast(
+        out_dir + "/prob_singlet.tsv.gz", ["cell"] + list(donor_names),
+        cell_names, singlet_p, "%.2e", gzip_level=4)
+    if native_gz:
+        native_gz = write_matrix_tsv_fast(
+            out_dir + "/prob_doublet.tsv.gz", ["cell"] + pair_names,
+            cell_names, pair_p, "%.2e", gzip_level=4)
+    if not native_gz:
+        _write_tsv(out_dir + "/prob_singlet.tsv",
+                   ["cell"] + list(donor_names),
+                   _matrix_rows(cell_names, singlet_p, "%.2e"))
+        _write_tsv(out_dir + "/prob_doublet.tsv",
+                   ["cell"] + pair_names,
+                   _matrix_rows(cell_names, pair_p, "%.2e"))
 
     if res_vireo.get('ambient_Psi') is not None:
         ratio = res_vireo['Psi_LLRatio']
@@ -186,10 +198,11 @@ def write_donor_id(out_dir, donor_names, cell_names, n_vars, res_vireo):
                    _matrix_rows(cell_names, res_vireo['ambient_Psi'],
                                 "%.4e", tail=lambda i: ['%.2f' % ratio[i]]))
 
-    gz = subprocess.Popen(
-        ["gzip", "-f", out_dir + "/prob_singlet.tsv",
-         out_dir + "/prob_doublet.tsv"], stdout=subprocess.PIPE)
-    gz.communicate()
+    if not native_gz:
+        gz = subprocess.Popen(
+            ["gzip", "-f", out_dir + "/prob_singlet.tsv",
+             out_dir + "/prob_doublet.tsv"], stdout=subprocess.PIPE)
+        gz.communicate()
 
 
 def make_whitelists(donor_id_file, out_prefix):
