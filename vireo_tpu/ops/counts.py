@@ -26,6 +26,7 @@ scipy types.
 import dataclasses
 import math as _pymath
 import os
+from functools import partial
 
 import numpy as np
 import jax
@@ -793,7 +794,7 @@ def _sparse_from_triplets(rows, cols, ad_vals, dp_vals, shape,
     )
 
 
-def _triplet_device_args(rows, cols, ad_v, dp_v, val_dtype):
+def _triplet_device_args(rows, cols, ad_v, dp_v, val_dtype, n_var=None):
     """Cast host triplets to transfer-efficient dtypes before moving
     them to device (int8 values are 30 MB instead of 240 MB at 30M nnz
     — the tunnel transfer is a real cost). nnz is padded to the next
@@ -801,21 +802,50 @@ def _triplet_device_args(rows, cols, ad_v, dp_v, val_dtype):
     no-ops — so the scatter program's shape (and its persistent
     compile-cache entry) is reused across datasets instead of
     recompiling per exact nnz (~2 min per shape through the remote
-    compile service)."""
-    rows = np.asarray(rows, np.int32)
+    compile service).
+
+    Returns (rows_or_ptr, cols, ad, dp, rows_from_ptr): when the host
+    triplets are row-major sorted (the canonical union order) the
+    first element is the (n_var + 1,) ROW POINTER instead of the
+    per-entry row ids — 0.1 MB instead of 120 MB at 30M nnz — and the
+    device scatter reconstructs rows by searchsorted. Requires `n_var`.
+    """
+    rows = np.asarray(rows, np.int64)
     cols = np.asarray(cols, np.int32)
     ad_v = np.asarray(ad_v)
     dp_v = np.asarray(dp_v)
     n = rows.shape[0]
+    use_ptr = (n_var is not None and
+               (n == 0 or np.all(np.diff(rows) >= 0)))
     target = max(4096, 1 << int(np.ceil(np.log2(max(n, 1)))))
     if target > n:
         pad = (0, target - n)
-        rows = np.pad(rows, pad)
+        if not use_ptr:
+            rows = np.pad(rows, pad)
         cols = np.pad(cols, pad)
         ad_v = np.pad(ad_v, pad)
         dp_v = np.pad(dp_v, pad)
-    return (jnp.asarray(rows), jnp.asarray(cols),
-            jnp.asarray(ad_v, val_dtype), jnp.asarray(dp_v, val_dtype))
+    if use_ptr:
+        # padded entries (index >= nnz) search past ptr[-1] -> row
+        # n_var, an out-of-bounds scatter index that jax drops; their
+        # values are zero anyway
+        ptr = np.searchsorted(rows, np.arange(n_var + 1)).astype(np.int32)
+        first = jnp.asarray(ptr)
+    else:
+        first = jnp.asarray(rows.astype(np.int32))
+    return (first, jnp.asarray(cols),
+            jnp.asarray(ad_v, val_dtype), jnp.asarray(dp_v, val_dtype),
+            use_ptr)
+
+
+def _chunk_rows(first, use_ptr, lo, m):
+    """Row ids for entries [lo, lo+m): a slice of the shipped row array,
+    or a searchsorted reconstruction from the row pointer."""
+    if not use_ptr:
+        return jax.lax.dynamic_slice_in_dim(first, lo, m)
+    idx = lo + jnp.arange(m, dtype=jnp.int32)
+    return (jnp.searchsorted(first, idx, side="right") - 1).astype(
+        jnp.int32)
 
 
 def _densify_triplets(rows, cols, ad_v, dp_v, shape, dtype,
@@ -831,6 +861,7 @@ def _densify_triplets(rows, cols, ad_v, dp_v, shape, dtype,
     """
     shape = tuple(int(s) for s in shape)
     # move values in the smallest exact transfer dtype
+    use_ptr = False
     if not isinstance(ad_v, jax.Array):
         if dtype == jnp.int8:
             ad_v = np.minimum(np.asarray(ad_v), 127)
@@ -840,22 +871,23 @@ def _densify_triplets(rows, cols, ad_v, dp_v, shape, dtype,
             transfer = jnp.float32 if dtype in (jnp.bfloat16,
                                                 jnp.float32) \
                 else jnp.float64
-        rows, cols, ad_v, dp_v = _triplet_device_args(
+        rows, cols, ad_v, dp_v, use_ptr = _triplet_device_args(
             rows, cols, ad_v, dp_v,
-            jnp.int8 if dtype == jnp.int8 else transfer)
+            jnp.int8 if dtype == jnp.int8 else transfer,
+            n_var=shape[0])
     block = _scatter_block()
 
     def scatter(ad_v, dp_v, rows, cols):
         if dtype == jnp.int8 and ad_v.dtype != jnp.int8:
             ad_v = jnp.clip(ad_v, 0, 127)
             dp_v = jnp.clip(dp_v, 0, 127)
-        n = rows.shape[0]
+        n = cols.shape[0]
         blk = min(block, n)
         n_full = n // blk
 
         def add_chunk(lo, m, bufs):
             ad_b, dp_b = bufs
-            r = jax.lax.dynamic_slice_in_dim(rows, lo, m)
+            r = _chunk_rows(rows, use_ptr, lo, m)
             c = jax.lax.dynamic_slice_in_dim(cols, lo, m)
             a = jax.lax.dynamic_slice_in_dim(ad_v, lo, m)
             d = jax.lax.dynamic_slice_in_dim(dp_v, lo, m)
@@ -896,29 +928,30 @@ def _pack_triplets(rows, cols, ad_v, dp_v, shape, clip=False):
     from .packed import PackedCounts, _pick_blocks, PACK_MAX
     V, C = (int(s) for s in shape)
     Vp, Cp2, bv, bc = _pick_blocks(V, C, 1024, 2048)
+    use_ptr = False
     if not isinstance(ad_v, jax.Array):
         if clip:
             ad_v = np.minimum(np.asarray(ad_v), PACK_MAX)
             dp_v = np.minimum(np.asarray(dp_v), PACK_MAX)
-        rows, cols, ad_v, dp_v = _triplet_device_args(
-            rows, cols, ad_v, dp_v, jnp.int8)
+        rows, cols, ad_v, dp_v, use_ptr = _triplet_device_args(
+            rows, cols, ad_v, dp_v, jnp.int8, n_var=V)
         clip = False
     block = _scatter_block()
 
-    @jax.jit
-    def scatter(vals, rows, cols):
+    @partial(jax.jit, static_argnames=("from_ptr",))
+    def scatter(vals, rows, cols, from_ptr=False):
         v = vals.astype(jnp.int32)
         if clip:
             v = jnp.minimum(v, PACK_MAX)
         shift = (cols & 1) * 4
         b = jnp.where(v << shift > 127, (v << shift) - 256,
                       v << shift).astype(jnp.int8)
-        n = rows.shape[0]
+        n = cols.shape[0]
         blk = min(block, n)
         n_full = n // blk
 
         def add_chunk(lo, m, buf):
-            r = jax.lax.dynamic_slice_in_dim(rows, lo, m)
+            r = _chunk_rows(rows, from_ptr, lo, m)
             c = jax.lax.dynamic_slice_in_dim(cols, lo, m)
             x = jax.lax.dynamic_slice_in_dim(b, lo, m)
             return buf.at[r, c // 2].add(x)
@@ -938,8 +971,10 @@ def _pack_triplets(rows, cols, ad_v, dp_v, shape, clip=False):
     cols = jnp.asarray(np.asarray(cols), jnp.int32) \
         if not isinstance(cols, jax.Array) else cols
     return PackedCounts(
-        ad_p=scatter(ad_v, rows, cols.astype(jnp.int32)),
-        dp_p=scatter(dp_v, rows, cols.astype(jnp.int32)),
+        ad_p=scatter(ad_v, rows, cols.astype(jnp.int32),
+                     from_ptr=use_ptr),
+        dp_p=scatter(dp_v, rows, cols.astype(jnp.int32),
+                     from_ptr=use_ptr),
         shape=(V, C), block_v=bv, block_c=bc)
 
 
