@@ -163,3 +163,20 @@ def test_vireo_profile_env_captures_trace(tmp_path, monkeypatch,
     found = [os.path.join(r, f) for r, _, fs in os.walk(trace_dir)
              for f in fs]
     assert found, "no profiler artifacts written"
+
+
+def test_compile_cache_default(monkeypatch):
+    """CLIs default to the per-user persistent compile cache; the env
+    var overrides and empty disables."""
+    from vireo_tpu.utils import platform as P
+    monkeypatch.setenv("XDG_CACHE_HOME", "/tmp/xdgtest")
+    assert P.default_compile_cache() == \
+        "/tmp/xdgtest/vireo_tpu/jax_cache"
+    import jax
+    monkeypatch.delenv("VIREO_COMPILE_CACHE", raising=False)
+    P.apply_platform_env(default_cache=True)
+    assert jax.config.jax_compilation_cache_dir == \
+        "/tmp/xdgtest/vireo_tpu/jax_cache"
+    monkeypatch.setenv("VIREO_COMPILE_CACHE", "/tmp/othercache")
+    P.apply_platform_env(default_cache=True)
+    assert jax.config.jax_compilation_cache_dir == "/tmp/othercache"

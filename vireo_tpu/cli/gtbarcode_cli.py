@@ -50,7 +50,7 @@ def build_parser():
 
 def main(argv=None):
     from ..utils.platform import apply_platform_env
-    apply_platform_env()
+    apply_platform_env(default_cache=True)
     if argv is None:
         argv = sys.argv[1:]
     if len(argv) == 0:

@@ -104,7 +104,7 @@ def main(argv=None):
     # VIREO_PLATFORM=cpu|tpu|axon overrides the JAX backend (useful when
     # a site config pins a default platform)
     from ..utils.platform import apply_platform_env
-    apply_platform_env()
+    apply_platform_env(default_cache=True)
 
     if argv is None:
         argv = sys.argv[1:]

@@ -18,12 +18,26 @@ import os
 __all__ = ["apply_platform_env"]
 
 
-def apply_platform_env():
+def default_compile_cache():
+    """Per-user persistent compile-cache directory (the CLI default:
+    accelerator compiles can cost minutes through a remote-compile
+    service, and a 100k-cell warm-restart program recompiled per run
+    dominated end-to-end wall clock). VIREO_COMPILE_CACHE overrides;
+    VIREO_COMPILE_CACHE="" disables."""
+    return os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "vireo_tpu", "jax_cache")
+
+
+def apply_platform_env(default_cache=False):
     """Apply VIREO_PLATFORM / VIREO_COMPILE_CACHE if set. Call before
     the first computation (config updates are ignored by any backend
-    that is already initialized)."""
+    that is already initialized). `default_cache=True` (the CLIs)
+    enables the per-user persistent cache when the env var is unset."""
     plat = os.environ.get("VIREO_PLATFORM")
     cache_dir = os.environ.get("VIREO_COMPILE_CACHE")
+    if cache_dir is None and default_cache:
+        cache_dir = default_compile_cache()
     if not (plat or cache_dir):
         return
     import jax
