@@ -222,3 +222,37 @@ def test_densify_and_pack_chunked_scatter(small_data, monkeypatch):
                                   np.asarray(p_ref.densify().ad))
     np.testing.assert_array_equal(np.asarray(p.densify().dp),
                                   np.asarray(p_ref.densify().dp))
+
+
+def test_cols_delta_roundtrip():
+    """Transfer delta-encoding of sorted-run column ids reconstructs
+    exactly on device (row-boundary jumps, >=256 gaps, padding), and
+    falls back to plain int32 when exceptions dominate."""
+    import jax.numpy as jnp
+    from vireo_tpu.ops.counts import _encode_cols_delta, _decode_cols
+
+    rng = np.random.RandomState(0)
+    # several "rows" of ascending cols: mostly small gaps, a few
+    # >= 256 (exceptions), plus the padding tail
+    def run(n):
+        gaps = rng.randint(1, 120, size=n)
+        gaps[rng.rand(n) < 0.05] += 900
+        return np.cumsum(gaps)
+    cols = np.concatenate([run(500), run(1), run(300),
+                           np.zeros(219, np.int64)])
+    enc = _encode_cols_delta(cols)
+    assert isinstance(enc, tuple), "expected the delta encoding"
+    got = np.asarray(_decode_cols(enc))
+    np.testing.assert_array_equal(got, cols)
+
+    # alternating huge jumps -> exceptions dominate -> plain int32
+    wild = np.arange(100) * 300
+    wild = wild[::-1].copy()                     # descending: all exc
+    enc = _encode_cols_delta(wild)
+    assert not isinstance(enc, tuple)
+    np.testing.assert_array_equal(np.asarray(_decode_cols(enc)), wild)
+
+    # no exceptions at all (single dense run from col 0)
+    enc = _encode_cols_delta(np.arange(50))
+    got = np.asarray(_decode_cols(enc))
+    np.testing.assert_array_equal(got, np.arange(50))

@@ -831,11 +831,56 @@ def _triplet_device_args(rows, cols, ad_v, dp_v, val_dtype, n_var=None):
         # values are zero anyway
         ptr = np.searchsorted(rows, np.arange(n_var + 1)).astype(np.int32)
         first = jnp.asarray(ptr)
+        cols_dev = _encode_cols_delta(cols)
     else:
         first = jnp.asarray(rows.astype(np.int32))
-    return (first, jnp.asarray(cols),
+        cols_dev = jnp.asarray(cols)
+    return (first, cols_dev,
             jnp.asarray(ad_v, val_dtype), jnp.asarray(dp_v, val_dtype),
             use_ptr)
+
+
+def _encode_cols_delta(cols):
+    """Delta-encode sorted-run column ids for transfer: uint8 forward
+    deltas plus an int32 exception list for row-boundary jumps and
+    gaps >= 256 — ~49 MB instead of 120 MB at 30M nnz over a slow
+    accelerator link. cols must already be padded; a global device
+    cumsum reconstructs the ids exactly (`_decode_cols`). Falls back
+    to plain int32 when exceptions would dominate."""
+    cols = np.asarray(cols, np.int64)
+    d = np.diff(cols, prepend=np.int64(0))
+    small = (d >= 0) & (d < 256)
+    n_exc = int((~small).sum())
+    if n_exc >= 0.25 * max(len(cols), 1):
+        return jnp.asarray(cols.astype(np.int32))
+    deltas = np.where(small, d, 0).astype(np.uint8)
+    exc_pos = np.flatnonzero(~small).astype(np.int32)
+    exc_val = d[~small].astype(np.int32)
+    # pad the exception list to a power of two with REPEATS of the
+    # first entry (idempotent scatter-set), keeping the decode
+    # program's shape cacheable across datasets
+    target = max(1024, 1 << int(np.ceil(np.log2(max(n_exc, 1)))))
+    if n_exc == 0:
+        exc_pos = np.zeros(target, np.int32)
+        exc_val = np.full(target, int(d[0]), np.int32)
+    elif target > n_exc:
+        reps = target - n_exc
+        exc_pos = np.concatenate([exc_pos,
+                                  np.full(reps, exc_pos[0], np.int32)])
+        exc_val = np.concatenate([exc_val,
+                                  np.full(reps, exc_val[0], np.int32)])
+    return (jnp.asarray(deltas), jnp.asarray(exc_pos),
+            jnp.asarray(exc_val))
+
+
+def _decode_cols(cols):
+    """Inverse of `_encode_cols_delta` (device): widen, patch the
+    exceptions, global cumsum. Plain arrays pass through."""
+    if isinstance(cols, tuple):
+        deltas, exc_pos, exc_val = cols
+        d32 = deltas.astype(jnp.int32).at[exc_pos].set(exc_val)
+        return jnp.cumsum(d32)
+    return cols
 
 
 def _chunk_rows(first, use_ptr, lo, m):
@@ -881,7 +926,8 @@ def _densify_triplets(rows, cols, ad_v, dp_v, shape, dtype,
         if dtype == jnp.int8 and ad_v.dtype != jnp.int8:
             ad_v = jnp.clip(ad_v, 0, 127)
             dp_v = jnp.clip(dp_v, 0, 127)
-        n = cols.shape[0]
+        cols = _decode_cols(cols)
+        n = ad_v.shape[0]
         blk = min(block, n)
         n_full = n // blk
 
@@ -914,6 +960,9 @@ def _densify_triplets(rows, cols, ad_v, dp_v, shape, dtype,
             # unevenly sharded dim: out_shardings requires exact
             # divisibility, device_put pads internally
             place_after = True
+            scatter = jax.jit(scatter)
+    else:
+        scatter = jax.jit(scatter)
     ad, dp = scatter(ad_v, dp_v, rows, cols)
     if place_after:
         ad = jax.device_put(ad, sharding)
@@ -943,10 +992,11 @@ def _pack_triplets(rows, cols, ad_v, dp_v, shape, clip=False):
         v = vals.astype(jnp.int32)
         if clip:
             v = jnp.minimum(v, PACK_MAX)
+        cols = _decode_cols(cols)
         shift = (cols & 1) * 4
         b = jnp.where(v << shift > 127, (v << shift) - 256,
                       v << shift).astype(jnp.int8)
-        n = cols.shape[0]
+        n = vals.shape[0]
         blk = min(block, n)
         n_full = n // blk
 
@@ -967,14 +1017,14 @@ def _pack_triplets(rows, cols, ad_v, dp_v, shape, clip=False):
         return buf
 
     rows = jnp.asarray(np.asarray(rows), jnp.int32) \
-        if not isinstance(rows, jax.Array) else rows
-    cols = jnp.asarray(np.asarray(cols), jnp.int32) \
-        if not isinstance(cols, jax.Array) else cols
+        if not isinstance(rows, (jax.Array, tuple)) else rows
+    if not isinstance(cols, tuple):
+        cols = (jnp.asarray(np.asarray(cols), jnp.int32)
+                if not isinstance(cols, jax.Array)
+                else cols).astype(jnp.int32)
     return PackedCounts(
-        ad_p=scatter(ad_v, rows, cols.astype(jnp.int32),
-                     from_ptr=use_ptr),
-        dp_p=scatter(dp_v, rows, cols.astype(jnp.int32),
-                     from_ptr=use_ptr),
+        ad_p=scatter(ad_v, rows, cols, from_ptr=use_ptr),
+        dp_p=scatter(dp_v, rows, cols, from_ptr=use_ptr),
         shape=(V, C), block_v=bv, block_c=bc)
 
 
