@@ -44,15 +44,30 @@ def worker(pid, nproc):
     d = synth_pool_counts(n_var=N_VAR, n_cell=N_CELL, n_donor=N_DONOR,
                           doublet_rate=0.05, density=0.05, seed=0)
 
+    # MW_FULL=1 additionally exercises the paths the round-3 advisor
+    # flagged as multi-process crashes: per-cell ambient estimation
+    # (host allgather of the cell-sharded selected block) and phase
+    # checkpoints (allgathered state, written from process 0 only)
+    full = os.environ.get("MW_FULL", "0") == "1"
+    extra = {}
+    if full:
+        ckpt_dir = os.environ.get("MW_CKPT",
+                                  "/tmp/vireo_mw_ckpt_%d" % PORT)
+        if pid == 0 and os.path.isdir(ckpt_dir):
+            import shutil
+            shutil.rmtree(ckpt_dir)
+        extra = dict(check_ambient=True, checkpoint_dir=ckpt_dir)
+
     mesh = make_mesh()          # all devices across all processes
     res = vireo_wrap(d["AD"], d["DP"], n_donor=N_DONOR, n_init=4,
                      random_seed=1, check_doublet=True, verbose=False,
-                     mesh=mesh)
+                     mesh=mesh, **extra)
 
     # single-process reference fit of the same data (local mesh=None)
     ref = vireo_wrap(d["AD"], d["DP"], n_donor=N_DONOR, n_init=4,
                      random_seed=1, check_doublet=True, verbose=False,
-                     mesh=None)
+                     mesh=None,
+                     **({"check_ambient": True} if full else {}))
 
     if pid == 0:
         idx0, idx1 = optimal_match(ref["GT_prob"], res["GT_prob"],
@@ -60,14 +75,27 @@ def worker(pid, nproc):
         pred = np.argmax(res["ID_prob"][:, idx1], axis=1)
         pred_ref = np.argmax(ref["ID_prob"], axis=1)
         agree = float(np.mean(pred == pred_ref))
-        print(json.dumps({
+        out = {
             "metric": "multiproc_wrap_donor_agreement",
             "value": round(agree, 4), "unit": "frac",
             "n_processes": nproc,
             "elbo_multi": float(res["LB_doublet"]),
             "elbo_single": float(ref["LB_doublet"]),
             "ok": agree >= 0.99,
-        }))
+        }
+        if full:
+            import glob
+            psi = res["ambient_Psi"]
+            out["ambient_shape"] = list(np.shape(psi))
+            out["ambient_finite"] = bool(np.isfinite(psi).all())
+            out["ambient_agree_ref"] = float(np.mean(
+                np.argmax(psi[:, idx1], 1)
+                == np.argmax(ref["ambient_Psi"], 1)))
+            out["checkpoints_written"] = len(
+                glob.glob(extra["checkpoint_dir"] + "/vireo_ckpt_*.npz"))
+            out["ok"] = bool(out["ok"] and out["ambient_finite"]
+                             and out["checkpoints_written"] >= 2)
+        print(json.dumps(out))
 
 
 def main():

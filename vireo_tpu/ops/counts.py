@@ -848,10 +848,12 @@ def _encode_cols_delta(cols):
     cumsum reconstructs the ids exactly (`_decode_cols`). Falls back
     to plain int32 when exceptions would dominate."""
     cols = np.asarray(cols, np.int64)
+    if len(cols) == 0:
+        return jnp.asarray(cols.astype(np.int32))
     d = np.diff(cols, prepend=np.int64(0))
     small = (d >= 0) & (d < 256)
     n_exc = int((~small).sum())
-    if n_exc >= 0.25 * max(len(cols), 1):
+    if n_exc >= 0.25 * len(cols):
         return jnp.asarray(cols.astype(np.int32))
     deltas = np.where(small, d, 0).astype(np.uint8)
     exc_pos = np.flatnonzero(~small).astype(np.int32)
