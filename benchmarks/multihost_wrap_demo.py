@@ -53,7 +53,10 @@ def worker(pid, nproc):
     if full:
         ckpt_dir = os.environ.get("MW_CKPT",
                                   "/tmp/vireo_mw_ckpt_%d" % PORT)
-        if pid == 0 and os.path.isdir(ckpt_dir):
+        # MW_RESUME=1 keeps the previous run's checkpoints so this run
+        # exercises the multi-process RESUME path
+        if (pid == 0 and os.path.isdir(ckpt_dir)
+                and os.environ.get("MW_RESUME", "0") != "1"):
             import shutil
             shutil.rmtree(ckpt_dir)
         extra = dict(check_ambient=True, checkpoint_dir=ckpt_dir)
