@@ -62,3 +62,18 @@ def test_softmax_from_loglik_normalized():
                                              jnp.asarray(logp)))
     np.testing.assert_allclose(S.sum(-1), 1.0, rtol=1e-12)
     assert (S >= 0).all()
+
+
+def test_betaln_matches_scipy():
+    """Our betaln (gammaln composition) tracks scipy to ~1e-12;
+    jax.scipy.special.betaln is up to ~1e-6 off in this range, which
+    moved ELBO values (and occasionally the convergence iteration)
+    away from the reference."""
+    from scipy.special import betaln as scipy_betaln
+    from vireo_tpu.ops.math import betaln
+    rng = np.random.RandomState(0)
+    a = rng.rand(3000) * 60 + 0.01
+    b = rng.rand(3000) * 60 + 0.01
+    got = np.asarray(betaln(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, scipy_betaln(a, b),
+                               rtol=1e-12, atol=1e-11)

@@ -256,3 +256,72 @@ def test_fit_emits_nonconvergence_warning(small_data, capsys):
     m = Vireo(n_cell=AD.shape[1], n_var=AD.shape[0], n_donor=3)
     m.fit(AD, DP, max_iter=50, min_iter=48, verbose=False)
     assert "Warning" not in capsys.readouterr().out
+
+
+def test_randomized_flag_combo_parity(reference):
+    """Full-fit parity vs the reference across randomized flag
+    COMBINATIONS (ASE x learn_GT x learn_theta x fix_beta_sum x
+    delay_fit_theta x GT prior) — the per-flag tests above cover each
+    axis alone; this seals the cross-terms."""
+    import scipy.sparse as sp
+    master = np.random.RandomState(42)
+    for trial in range(6):
+        V, C, K = (int(master.randint(20, 50)),
+                   int(master.randint(30, 80)), int(master.randint(2, 5)))
+        dp = (master.rand(V, C) < 0.4) * master.poisson(4, (V, C))
+        ad = master.binomial(dp, master.rand())
+        AD, DP = sp.csc_matrix(ad * 1.0), sp.csc_matrix(dp * 1.0)
+
+        ase = bool(master.randint(2))
+        learn_GT = bool(master.randint(2))
+        learn_theta = bool(master.randint(2))
+        fix_beta_sum = bool(master.randint(2))
+        delay = int(master.randint(0, 4))
+        use_prior = bool(master.randint(2)) or not learn_GT
+        gt_prior = None
+        if use_prior:
+            gp = master.rand(V, K, 3)
+            gt_prior = gp / gp.sum(-1, keepdims=True)
+        seed = int(master.randint(10000))
+
+        np.random.seed(seed)
+        ref_model = reference.Vireo(
+            n_cell=C, n_var=V, n_donor=K, learn_GT=learn_GT,
+            learn_theta=learn_theta, ASE_mode=ase,
+            fix_beta_sum=fix_beta_sum, GT_prob_init=gt_prior)
+        ref_model.set_prior(GT_prior=gt_prior)
+        # _fit_VB: the pre-binom trace (the reference's binomial
+        # constant is computed in f32, a reporting-only offset)
+        ref_trace = ref_model._fit_VB(AD, DP, max_iter=30, min_iter=5,
+                                      delay_fit_theta=delay,
+                                      verbose=False)
+
+        cfg = VireoConfig(n_var=V, n_cell=C, n_donor=K,
+                          learn_GT=learn_GT, learn_theta=learn_theta,
+                          ASE_mode=ase, fix_beta_sum=fix_beta_sum)
+        np.random.seed(seed)
+        state = init_state(cfg, GT_prob_init=gt_prior, dtype=jnp.float64)
+        priors = default_priors(cfg, GT_prior=gt_prior, dtype=jnp.float64)
+        counts = dense_counts(AD, DP, dtype=jnp.float64)
+        res = fit_vb(counts, state, priors, cfg, max_iter=30, min_iter=5,
+                     delay_fit_theta=delay)
+
+        msg = ("trial %d: ase=%s learn_GT=%s learn_theta=%s fix=%s "
+               "delay=%d prior=%s" % (trial, ase, learn_GT, learn_theta,
+                                      fix_beta_sum, delay, use_prior))
+        n_it = int(res.n_iter)
+        assert n_it == len(ref_trace) + 1, msg
+        trace = np.asarray(res.elbo_trace)[:n_it]
+        np.testing.assert_allclose(trace[:len(ref_trace)], ref_trace,
+                                   rtol=1e-8, err_msg=msg)
+        np.testing.assert_allclose(
+            float(res.elbo_ref), ref_trace[-1], rtol=1e-9, err_msg=msg)
+        np.testing.assert_allclose(
+            np.asarray(res.state.id_prob), ref_model.ID_prob,
+            rtol=1e-7, atol=1e-10, err_msg=msg)
+        np.testing.assert_allclose(
+            np.asarray(res.state.gt_prob), ref_model.GT_prob,
+            rtol=1e-7, atol=1e-10, err_msg=msg)
+        np.testing.assert_allclose(
+            np.asarray(res.state.beta_mu), ref_model.beta_mu,
+            rtol=1e-8, err_msg=msg)
