@@ -438,3 +438,29 @@ def test_dense_sharded_matches_single_device(small_data):
     np.testing.assert_allclose(
         np.asarray(res_sh.state.id_prob)[:n_cell],
         np.asarray(res_1.state.id_prob), rtol=1e-7, atol=1e-10)
+
+
+def test_ladder_budget_aggregates_across_mesh(small_data, monkeypatch):
+    """On a mesh, the dense ladder sizes against the AGGREGATE HBM of
+    the chips the sharding spans — an n-chip pool holds n times more
+    per rung. (Explicit dense_budget stays a total.)"""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from vireo_tpu.ops import counts as CT
+    from vireo_tpu.ops.counts import counts_from_scipy, DenseCounts
+    from vireo_tpu.parallel.mesh import CELL_AXIS
+
+    AD, DP, _ = small_data
+    n = AD.shape[0] * AD.shape[1]
+    mesh = make_mesh(N_DEV)
+    sh = NamedSharding(mesh, P(None, CELL_AXIS))
+    assert CT._shard_factor(sh) == N_DEV
+    assert CT._shard_factor(None) == 1
+
+    # per-chip budget too small for exact f32 dense (8 B/pair), but the
+    # 8-chip aggregate fits: the sharded build picks the dense rung,
+    # the single-device build falls down the ladder
+    monkeypatch.setattr(CT, "device_dense_budget", lambda: 1.5 * n)
+    c_mesh = counts_from_scipy(AD, DP, max_dense_elems=10, sharding=sh)
+    assert isinstance(c_mesh, DenseCounts)
+    c_one = counts_from_scipy(AD, DP, max_dense_elems=10)
+    assert not isinstance(c_one, DenseCounts)

@@ -1071,6 +1071,22 @@ def device_dense_budget():
     return 16 * 2**30
 
 
+def _shard_factor(sharding):
+    """Number of ways a NamedSharding splits the count matrices (the
+    product of the mesh extents its spec actually uses): the dense
+    ladder's HBM budget aggregates across those chips."""
+    if sharding is None:
+        return 1
+    try:
+        f = 1
+        for ax in sharding.spec:
+            if ax is not None:
+                f *= int(sharding.mesh.shape[ax])
+        return max(int(f), 1)
+    except Exception:
+        return 1
+
+
 def counts_from_scipy(AD, DP, dtype=jnp.float32, max_dense_elems=64_000_000,
                       dense_budget=None, sharding=None, verbose=False):
     """Pick the TPU-side representation for a scipy/numpy AD-DP pair.
@@ -1107,8 +1123,13 @@ def counts_from_scipy(AD, DP, dtype=jnp.float32, max_dense_elems=64_000_000,
                      dp_v.max() if len(dp_v) else 0.0))
     shape = tuple(int(s) for s in AD.shape)
     dense_dtype = exact_count_dtype(vmax)
-    budget = dense_budget if dense_budget is not None \
-        else device_dense_budget()
+    if dense_budget is not None:
+        budget = dense_budget          # explicit budgets are TOTALS
+    else:
+        # a mesh sharding splits the dense layouts across chips: the
+        # ladder sizes against the AGGREGATE HBM of the chips it spans
+        # (this is what makes n-chip pools n times larger per rung)
+        budget = device_dense_budget() * _shard_factor(sharding)
     need = 2 * n_elems * jnp.dtype(dense_dtype).itemsize
     if need <= budget:
         if verbose:
