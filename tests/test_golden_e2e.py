@@ -104,3 +104,20 @@ def test_cli_flag_goldens(mode, golden, extra, tmp_path):
                                       "prop_ambient.tsv"),
                          skiprows=1, usecols=(1, 2, 3, 4))
         np.testing.assert_allclose(ours, ref, atol=5e-3)
+
+
+def test_cli_mesh_flag(tmp_path):
+    """--mesh 2x4 runs the demo through an explicit 2-D capacity mesh
+    and still bit-matches the mode-1 golden; --mesh off disables."""
+    from vireo_tpu.cli.vireo_cli import main, _resolve_cli_mesh
+    assert _resolve_cli_mesh("off") is None
+    assert _resolve_cli_mesh("auto") == "auto"
+    out = tmp_path / "mesh2d"
+    main(["-c", "/root/reference/data/cellSNP_mat", "-N", "4",
+          "-o", str(out), "--randSeed", "2", "--noPlot",
+          "--mesh", "2x4"])
+    got = (out / "donor_ids.tsv").read_text().splitlines()
+    want = open(os.path.join(HERE, "goldens",
+                             "donor_ids_mode1.tsv")).read().splitlines()
+    assert [g.split("\t")[1] for g in got[1:]] == \
+        [w.split("\t")[1] for w in want[1:]]

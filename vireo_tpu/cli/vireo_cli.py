@@ -97,7 +97,25 @@ def build_parser():
                         action="store_true",
                         help="Print a per-phase timing summary "
                              "(also VIREO_TIMING=1)")
+    parser.add_argument("--mesh", dest="mesh", default="auto",
+                        help="Device mesh for sharding the cell axis: "
+                             "'auto' (all local devices for big "
+                             "pools), 'off', or 'VxC' for a 2-D "
+                             "vars-x-cells capacity mesh, e.g. '2x4' "
+                             "[default: %(default)s]")
     return parser
+
+
+def _resolve_cli_mesh(spec):
+    """--mesh auto|off|VxC -> the vireo_wrap mesh argument."""
+    spec = (spec or "auto").strip().lower()
+    if spec == "auto":
+        return "auto"
+    if spec in ("off", "none", "0", "no"):
+        return None
+    from ..parallel.mesh import make_mesh2d
+    nv, nc = (int(s) for s in spec.split("x"))
+    return make_mesh2d(nv, nc)
 
 
 def main(argv=None):
@@ -248,7 +266,8 @@ def main(argv=None):
         check_doublet=check_doublet, random_seed=options.rand_seed,
         ASE_mode=options.ASE_mode, check_ambient=options.check_ambient,
         nproc=options.nproc, checkpoint_dir=options.checkpoint_dir,
-        timing=options.timing or None)
+        timing=options.timing or None,
+        mesh=_resolve_cli_mesh(options.mesh))
 
     if (n_donor is not None and donor_GPb is not None
             and n_donor < donor_GPb.shape[1]):
