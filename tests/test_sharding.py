@@ -464,3 +464,14 @@ def test_ladder_budget_aggregates_across_mesh(small_data, monkeypatch):
     assert isinstance(c_mesh, DenseCounts)
     c_one = counts_from_scipy(AD, DP, max_dense_elems=10)
     assert not isinstance(c_one, DenseCounts)
+
+
+def test_resolve_mesh_shape_env(monkeypatch):
+    """VIREO_MESH_SHAPE=2x4 makes mesh='auto' build the 2-D capacity
+    mesh."""
+    from vireo_tpu.engine.wrap import _resolve_mesh
+    from vireo_tpu.parallel.mesh import VAR_AXIS, CELL_AXIS
+    monkeypatch.setenv("VIREO_MESH_MIN_CELLS", "100")
+    monkeypatch.setenv("VIREO_MESH_SHAPE", "2x4")
+    mesh = _resolve_mesh("auto", 1000)
+    assert dict(mesh.shape) == {VAR_AXIS: 2, CELL_AXIS: 4}
