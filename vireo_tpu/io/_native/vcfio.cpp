@@ -17,6 +17,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <new>
 #include <string>
 #include <utility>
 #include <vector>
@@ -466,12 +467,21 @@ int64_t mmread_csc(const char* path, int64_t* shape_out, int64_t* indptr,
     shape_out[1] = parse_int_fast(&p, lim);
     shape_out[2] = parse_int_fast(&p, lim);
   }
+  int64_t n_row = shape_out[0];
   int64_t n_col = shape_out[1];
   int64_t nnz = shape_out[2];
+  if (nnz < 0 || n_row < 0 || n_col < 0) return -1;
   if (indptr == nullptr) return nnz;
 
-  std::vector<int32_t> rows(nnz), cols(nnz);
-  std::vector<double> v(nnz);
+  std::vector<int32_t> rows, cols;
+  std::vector<double> v;
+  try {
+    rows.resize(nnz);
+    cols.resize(nnz);
+    v.resize(nnz);
+  } catch (const std::bad_alloc&) {
+    return -1;  // header promised more entries than memory allows
+  }
   int64_t k = 0;
   while (k < nnz && reader.next(&line, &len)) {
     if (len == 0) continue;
@@ -488,6 +498,7 @@ int64_t mmread_csc(const char* path, int64_t* shape_out, int64_t* indptr,
   memset(indptr, 0, sizeof(int64_t) * (n_col + 1));
   for (int64_t i = 0; i < nnz; ++i) {
     if (cols[i] < 0 || cols[i] >= n_col) return -1;
+    if (rows[i] < 0 || rows[i] >= n_row) return -1;
     ++indptr[cols[i] + 1];
   }
   for (int64_t c = 0; c < n_col; ++c) indptr[c + 1] += indptr[c];
