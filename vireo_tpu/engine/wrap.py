@@ -109,11 +109,12 @@ def _as_counts(AD, DP, dtype, mesh=None, verbose=False):
         import warnings
         warnings.warn(
             "[vireo] pre-built %s counts (n_cell=%d) could not be "
-            "placed on the %d-device mesh (cell axis not divisible, or "
-            "layout has no mesh path); the run proceeds UNSHARDED. Pad "
-            "the cell axis to a multiple of the device count, or pass "
-            "raw scipy/numpy matrices so vireo_wrap pads for you."
-            % (type(counts).__name__, counts.n_cell, size))
+            "placed on the mesh (cell axis not divisible by its %d "
+            "shards, or layout has no mesh path); the run proceeds "
+            "UNSHARDED. Pad the cell axis to a multiple of the shard "
+            "count, or pass raw scipy/numpy matrices so vireo_wrap "
+            "pads for you." % (type(counts).__name__, counts.n_cell,
+                               size))
         return counts, False
     sharding = _cell_sharding(mesh) if mesh is not None else None
     counts = counts_from_scipy(AD, DP, dtype=dtype, sharding=sharding,
