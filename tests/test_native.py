@@ -130,3 +130,29 @@ def test_native_tsv_writer_matches_python(tmp_path):
     assert write_matrix_tsv_fast(str(p_nat), cols, names, mat, "%.2e")
     _write_tsv(str(p_py), cols, _matrix_rows(names, mat, "%.2e"))
     assert p_nat.read_bytes() == p_py.read_bytes()
+
+
+def test_native_union_matches_scipy_path(monkeypatch):
+    """The C++ union merge produces exactly the scipy indicator-add +
+    searchsorted alignment (disjoint/overlapping patterns, empty rows,
+    value alignment)."""
+    import scipy.sparse as sp
+    from vireo_tpu.ops import counts as CT
+    if not CT._native_union.__module__:  # pragma: no cover
+        pytest.skip()
+    rng = np.random.RandomState(3)
+    for _ in range(4):
+        V, C = rng.randint(5, 40), rng.randint(5, 60)
+        dp = (rng.rand(V, C) < 0.3) * rng.poisson(3, (V, C))
+        ad = (rng.rand(V, C) < 0.25) * rng.poisson(2, (V, C))
+        A, D = sp.csc_matrix(ad * 1.0), sp.csc_matrix(dp * 1.0)
+        got = CT._host_union_triplets(A, D)
+
+        import vireo_tpu.io._native as N
+        orig = N.lib
+        monkeypatch.setattr(N, "lib", lambda: None)  # force scipy path
+        want = CT._host_union_triplets(A, D)
+        monkeypatch.setattr(N, "lib", orig)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g, np.float64),
+                                          np.asarray(w, np.float64))

@@ -81,6 +81,12 @@ def _build():
                                      ctypes.POINTER(ctypes.c_double),
                                      ctypes.c_int64, ctypes.c_int64,
                                      ctypes.c_char_p, ctypes.c_int32]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.union_csr.restype = ctypes.c_int64
+    lib.union_csr.argtypes = [ctypes.c_int64, i64p, i32p, f64p,
+                              i64p, i32p, f64p, i32p, i32p, f64p, f64p]
     return lib
 
 

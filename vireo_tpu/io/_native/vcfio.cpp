@@ -592,4 +592,52 @@ int64_t write_matrix_tsv(const char* path, const char* header,
   return (ok && rc == Z_OK) ? 0 : -1;
 }
 
+// Union merge of two canonical CSR matrices (same shape): emits
+// (row, col)-sorted triplets over the union nonzero pattern with each
+// matrix's value (0 where absent) — the alignment pass every count
+// layout builds from.  Two-call protocol: with out_rows == nullptr
+// returns the union nnz; the second call fills out_rows/out_cols
+// (int32) and out_a/out_d (double).  Rows within each matrix must be
+// strictly sorted with no duplicates (scipy canonical form; the
+// caller guarantees it).  Returns union nnz, or -1 on error.
+int64_t union_csr(int64_t n_row, const int64_t* a_indptr,
+                  const int32_t* a_indices, const double* a_data,
+                  const int64_t* d_indptr, const int32_t* d_indices,
+                  const double* d_data, int32_t* out_rows,
+                  int32_t* out_cols, double* out_a, double* out_d) {
+  if (out_rows == nullptr) {
+    int64_t nnz = 0;
+    for (int64_t r = 0; r < n_row; ++r) {
+      int64_t i = a_indptr[r], ie = a_indptr[r + 1];
+      int64_t j = d_indptr[r], je = d_indptr[r + 1];
+      while (i < ie && j < je) {
+        int32_t ca = a_indices[i], cd = d_indices[j];
+        i += (ca <= cd);
+        j += (cd <= ca);
+        ++nnz;
+      }
+      nnz += (ie - i) + (je - j);
+    }
+    return nnz;
+  }
+  int64_t k = 0;
+  for (int64_t r = 0; r < n_row; ++r) {
+    int64_t i = a_indptr[r], ie = a_indptr[r + 1];
+    int64_t j = d_indptr[r], je = d_indptr[r + 1];
+    while (i < ie || j < je) {
+      int32_t ca = i < ie ? a_indices[i] : INT32_MAX;
+      int32_t cd = j < je ? d_indices[j] : INT32_MAX;
+      int32_t c = ca < cd ? ca : cd;
+      out_rows[k] = static_cast<int32_t>(r);
+      out_cols[k] = c;
+      out_a[k] = (ca == c) ? a_data[i] : 0.0;
+      out_d[k] = (cd == c) ? d_data[j] : 0.0;
+      i += (ca == c);
+      j += (cd == c);
+      ++k;
+    }
+  }
+  return k;
+}
+
 }  // extern "C"

@@ -707,6 +707,10 @@ def _host_union_triplets(AD, DP):
                          np.diff(A.indptr))
         return rows, A.indices.astype(np.int64), A.data, D.data
 
+    native = _native_union(A, D)
+    if native is not None:
+        return native
+
     Ia = A.copy()
     Ia.data = np.ones_like(Ia.data)
     Id = D.copy()
@@ -725,6 +729,54 @@ def _host_union_triplets(AD, DP):
         return out
 
     return rows, cols, align(A), align(D)
+
+
+def _native_union(A, D):
+    """One-pass C++ union merge of two canonical CSRs (the scipy
+    indicator-add + searchsorted path above costs ~7-19 s at 30M nnz
+    on this host; the merge is ~0.5 s). None when the native library
+    is unavailable (caller falls back)."""
+    import ctypes
+    from ..io._native import lib as native_lib
+    nat = native_lib()
+    if nat is None:
+        return None
+    A.sort_indices()
+    D.sort_indices()
+    a_indptr = np.ascontiguousarray(A.indptr, np.int64)
+    d_indptr = np.ascontiguousarray(D.indptr, np.int64)
+    a_indices = np.ascontiguousarray(A.indices, np.int32)
+    d_indices = np.ascontiguousarray(D.indices, np.int32)
+    a_data = np.ascontiguousarray(A.data, np.float64)
+    d_data = np.ascontiguousarray(D.data, np.float64)
+
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+
+    def p(x, t):
+        return x.ctypes.data_as(t)
+
+    n_row = int(A.shape[0])
+    nnz = nat.union_csr(n_row, p(a_indptr, i64p), p(a_indices, i32p),
+                        p(a_data, f64p), p(d_indptr, i64p),
+                        p(d_indices, i32p), p(d_data, f64p),
+                        None, None, None, None)
+    if nnz < 0:
+        return None
+    rows = np.empty(nnz, np.int32)
+    cols = np.empty(nnz, np.int32)
+    av = np.empty(nnz, np.float64)
+    dv = np.empty(nnz, np.float64)
+    got = nat.union_csr(n_row, p(a_indptr, i64p), p(a_indices, i32p),
+                        p(a_data, f64p), p(d_indptr, i64p),
+                        p(d_indices, i32p), p(d_data, f64p),
+                        p(rows, i32p), p(cols, i32p), p(av, f64p),
+                        p(dv, f64p))
+    if got != nnz:
+        return None
+    # int32 indices: every consumer casts to its own dtype anyway
+    return rows, cols, av, dv
 
 
 def sparse_counts(AD, DP, dtype=jnp.float32, pad_multiple=8192):
