@@ -20,7 +20,6 @@ Two paths are provided:
 """
 
 import dataclasses
-from functools import partial
 
 import numpy as np
 import jax
