@@ -67,8 +67,12 @@ def main():
     layout = type(counts).__name__
     t_build = time.time() - t0
 
+    # unseeded by default (the production default: device-side warm
+    # inits, no ~250 MB host upload); E2E_SEED restores host-RNG parity
+    seed = os.environ.get("E2E_SEED")
+    seed = int(seed) if seed else None
     t0 = time.time()
-    res = vireo_wrap(counts, n_donor=K, n_init=n_init, random_seed=1,
+    res = vireo_wrap(counts, n_donor=K, n_init=n_init, random_seed=seed,
                      check_doublet=True, verbose=False,
                      timing=os.environ.get("VIREO_TIMING") == "1" or None)
     t_fit = time.time() - t0
