@@ -216,6 +216,11 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
     with the host RNG position; a rerun with the SAME arguments resumes
     after the latest completed phase and reproduces the uninterrupted
     result. `timing` (or VIREO_TIMING=1) prints a per-phase summary.
+    Note: device work dispatches asynchronously, so a phase's cost can
+    surface in the first phase that blocks on its results — e.g. the
+    data_placement transfer often lands in warm_restarts. The split is
+    deliberately left unsynchronized: blocking each phase would
+    serialize real overlap (host init draws run during the upload).
     """
     import os
     from ..utils.timing import PhaseTimer
