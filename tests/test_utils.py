@@ -180,3 +180,23 @@ def test_compile_cache_default(monkeypatch):
     monkeypatch.setenv("VIREO_COMPILE_CACHE", "/tmp/othercache")
     P.apply_platform_env(default_cache=True)
     assert jax.config.jax_compilation_cache_dir == "/tmp/othercache"
+
+
+def test_host_fetch_parallel_exact(monkeypatch):
+    """Concurrent chunked fetch returns exactly np.asarray's value for
+    assorted shapes/dtypes; small and scalar inputs take the plain
+    path."""
+    import jax.numpy as jnp
+    from vireo_tpu.utils import fetch as F
+    monkeypatch.setattr(F, "_MIN_PARALLEL_BYTES", 64)  # force chunking
+    rng = np.random.RandomState(0)
+    for shape, dtype in [((1003, 7), np.float32), ((57,), np.float64),
+                         ((9, 4, 3), np.float32), ((4, 2), np.int8)]:
+        h = (rng.rand(*shape) * 100).astype(dtype)
+        x = jnp.asarray(h)
+        np.testing.assert_array_equal(F.host_fetch(x), h)
+    assert F.host_fetch(jnp.asarray(3.5)) == np.float32(3.5)
+    assert F.host_fetch(np.arange(5)).tolist() == [0, 1, 2, 3, 4]
+    monkeypatch.setenv("VIREO_FETCH_STREAMS", "0")
+    x = jnp.asarray(rng.rand(100, 5))
+    np.testing.assert_array_equal(F.host_fetch(x), np.asarray(x))

@@ -225,9 +225,11 @@ def predit_ambient(vobj, AD, DP, nproc=None, min_ELBO_gain=None, rng=None):
             ad_cells, dp_cells,
             jnp.asarray(theta_sel, dtype), jnp.asarray(psi0, dtype))
     # materialize before stopping the clock (dispatch is async; the
-    # printed time should cover the actual EM work)
-    Psi, Psi_var, Psi_llr = (np.asarray(Psi), np.asarray(Psi_var),
-                             np.asarray(Psi_llr))
+    # printed time should cover the actual EM work); host_fetch
+    # streams large results concurrently over a slow link
+    from ..utils.fetch import host_fetch
+    Psi, Psi_var, Psi_llr = (host_fetch(Psi), host_fetch(Psi_var),
+                             host_fetch(Psi_llr))
 
     stop = timeit.default_timer()
     print('[vireo] Ambient RNA time: %.1f sec' % (stop - start))

@@ -431,7 +431,8 @@ class Vireo:
 
     @property
     def GT_prob(self):
-        return np.asarray(self.state.gt_prob)
+        from ..utils.fetch import host_fetch
+        return host_fetch(self.state.gt_prob)
 
     @property
     def ID_prior(self):
