@@ -25,6 +25,7 @@ def _pair_idx(n):
     return np.array(list(itertools.combinations(range(n), 2)), dtype=np.int32)
 
 
+@jax.jit
 def add_doublet_theta(beta_mu, beta_sum):
     """Doublet allelic-rate categories: mean of the pair's means and the
     geometric mean of concentrations (vireo_doublet.py:85-102)."""
@@ -36,9 +37,15 @@ def add_doublet_theta(beta_mu, beta_sum):
             jnp.concatenate([beta_sum, sum_db], axis=-1))
 
 
+@jax.jit
 def add_doublet_GT(GT_prob):
     """Expanded genotype tensor (n_var, K + C(K,2), G + C(G,2))
-    (vireo_doublet.py:105-136)."""
+    (vireo_doublet.py:105-136).
+
+    Jitted: eagerly, the ~12 tensor ops building the (V, K + C(K,2),
+    G + C(G,2)) expansion each dispatch separately — ~10 s of pure
+    call latency through a remote-accelerator tunnel at the north
+    star vs ~0.3 s compiled."""
     V, K, G = GT_prob.shape
     gi = _pair_idx(G)
     si = _pair_idx(K)
