@@ -124,6 +124,12 @@ def _as_counts(AD, DP, dtype, mesh=None, verbose=False):
     return counts, placed
 
 
+@jax.jit
+def _tree_take(tree, i):
+    """tree[i] over the leading axis of every leaf, as one device call."""
+    return jax.tree.map(lambda x: x[i], tree)
+
+
 def _device_batched_init(cfg, n_init, seed, GT_prior_use, dtype):
     """Draw the n_init restart states ON DEVICE (jax PRNG).
 
@@ -385,9 +391,11 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
             elbo_all = np.asarray(jax.device_get(warm.elbo_ref)) \
                 + binom_coeff
             best = int(np.argmax(elbo_all))
-            # index on device: fetching the whole (R, C, K) restart
-            # batch to host costs ~250 MB over a remote-device link
-            best_state = jax.tree.map(lambda x: x[best], warm.state)
+            # index on device, in ONE dispatch: fetching the whole
+            # (R, C, K) restart batch costs ~250 MB over a remote link,
+            # and per-leaf eager slices each pay the tunnel's call
+            # latency
+            best_state = _tree_take(warm.state, best)
         if checkpoint_dir:
             ckpt.save_state(checkpoint_dir, 0, best_state,
                             extra={"elbo_all": elbo_all},

@@ -94,13 +94,15 @@ def _doublet_posterior(counts, gt_both, beta_mu_both, beta_sum_both,
     The round-trip variant (fetch the (C, K_exp) loglik, push a
     (C, K_exp) log prior, fetch the softmax) moves ~220 MB over the
     host link at the 100k-cell north star; this fetches only the
-    posterior once and the (C,) LLR."""
+    posterior once and the (C,) LLR. The singlet slice comes out of
+    the same dispatch (an eager slice pays the tunnel's per-call
+    latency)."""
     Wfa, Wfd = _doublet_weights(gt_both, beta_mu_both, beta_sum_both)
     logLik = counts.cell_loglik(Wfa, Wfd)
     post = softmax_from_loglik(logLik, log_prior_row[None, :])
     llr = (jnp.max(logLik[:, n_donor:], axis=1)
            - jnp.max(logLik[:, :n_donor], axis=1))
-    return post, llr
+    return post, llr, post[:, :n_donor]
 
 
 def _fused_doublet_mode(counts, vobj):
@@ -208,10 +210,10 @@ def predict_doublet(vobj, AD, DP=None, update_GT=True, update_ID=True,
         prior_row = np.concatenate(
             [id_prior_np[0] * (1 - doublet_rate_prior),
              np.full(n_pair, doublet_rate_prior / n_pair)])
-        post, llr = _doublet_posterior(
+        post, llr, post_singlet = _doublet_posterior(
             counts, gt_both, mu_both, sum_both,
             jnp.asarray(np.log(prior_row), vobj.dtype), K)
-        device_post = post
+        device_post = post_singlet
         from ..utils.fetch import host_fetch
         ID_prob_both = host_fetch(post)
         logLik_ratio = host_fetch(llr)
@@ -231,10 +233,11 @@ def predict_doublet(vobj, AD, DP=None, update_GT=True, update_ID=True,
 
     if update_ID:
         if device_post is not None:
-            # slice the device posterior in place of re-uploading the
-            # host copy (a (C, K) push over the accelerator link)
+            # the device singlet slice from the posterior dispatch, in
+            # place of re-uploading the host copy (a (C, K) push over
+            # the accelerator link)
             vobj.state = dataclasses.replace(vobj.state,
-                                             id_prob=device_post[:, :K])
+                                             id_prob=device_post)
         else:
             vobj.ID_prob = ID_prob_both[:, :K]
         if update_GT and S1 is not None:
