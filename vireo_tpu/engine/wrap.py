@@ -10,6 +10,7 @@ priors, doublet and ambient dispatch) are preserved host-side.
 """
 
 import dataclasses
+import functools
 
 import numpy as np
 import jax
@@ -130,6 +131,28 @@ def _tree_take(tree, i):
     return jax.tree.map(lambda x: x[i], tree)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "max_iter_init",
+                                             "delay_fit_theta"))
+def _warm_select(counts, batched, priors, cfg, max_iter_init,
+                 delay_fit_theta):
+    """The whole warm phase as ONE device call: vmapped restart fits,
+    best-ELBO winner slice, binomial constant. Each eager call through
+    a remote-accelerator tunnel pays ~0.5-0.8 s of dispatch latency;
+    fusing the phase removes several.
+
+    Selection is argmax over the raw per-restart ELBOs — identical to
+    the reference's argmax over ELBO + binomial constant (adding one
+    constant in f64 is monotone and preserves exact ties, and both
+    argmaxes take the first maximum); the constant is returned so the
+    host can report reference-style values."""
+    warm = jax.vmap(lambda st: fit_vb(
+        counts, st, priors, cfg, max_iter=max_iter_init,
+        min_iter=5, delay_fit_theta=delay_fit_theta))(batched)
+    best = jnp.argmax(warm.elbo_ref)
+    return (_tree_take(warm.state, best), warm.elbo_ref,
+            counts.binom_coeff_sum())
+
+
 def _device_batched_init(cfg, n_init, seed, GT_prior_use, dtype):
     """Draw the n_init restart states ON DEVICE (jax PRNG).
 
@@ -170,8 +193,27 @@ def _device_batched_init(cfg, n_init, seed, GT_prior_use, dtype):
 
 
 def _model_from_state(counts, cfg_kwargs, n_donor, learn_GT, state,
-                      GT_prior_use, dtype):
-    """Build a Vireo wrapper seeded with an existing state (no RNG draws)."""
+                      GT_prior_use, dtype, device_state=False):
+    """Build a Vireo wrapper seeded with an existing state (no RNG draws).
+
+    `device_state=True` adopts the state's device arrays verbatim
+    (placeholder host inits, then overwrite) — for states with no
+    host-RNG parity contract (device-init runs): skips fetching and
+    re-uploading the (C, K) posterior and its host renormalization,
+    several seconds of link latency at the 100k-cell scale."""
+    if device_state:
+        n_GT = int(cfg_kwargs.get("n_GT", 3))
+        m = Vireo(n_cell=counts.n_cell, n_var=counts.n_var,
+                  n_donor=n_donor, learn_GT=learn_GT, dtype=dtype,
+                  beta_mu_init=np.asarray(state.beta_mu),
+                  beta_sum_init=np.asarray(state.beta_sum),
+                  ID_prob_init=np.full((counts.n_cell, n_donor),
+                                       1.0 / n_donor),
+                  GT_prob_init=np.full((counts.n_var, n_donor, n_GT),
+                                       1.0 / n_GT), **cfg_kwargs)
+        m.set_prior(GT_prior=GT_prior_use)
+        m.state = state
+        return m
     m = Vireo(n_cell=counts.n_cell, n_var=counts.n_var, n_donor=n_donor,
               learn_GT=learn_GT, dtype=dtype,
               beta_mu_init=np.asarray(state.beta_mu),
@@ -383,19 +425,14 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
                     batched = dataclasses.replace(
                         batched,
                         gt_prob=jax.device_put(batched.gt_prob, gt_sh))
-            warm = jax.vmap(lambda st: fit_vb(
-                counts, st, priors, cfg, max_iter=max_iter_init,
-                min_iter=5, delay_fit_theta=delay_fit_theta))(batched)
-
-            binom_coeff = float(jax.device_get(counts.binom_coeff_sum()))
-            elbo_all = np.asarray(jax.device_get(warm.elbo_ref)) \
-                + binom_coeff
-            best = int(np.argmax(elbo_all))
-            # index on device, in ONE dispatch: fetching the whole
-            # (R, C, K) restart batch costs ~250 MB over a remote link,
-            # and per-leaf eager slices each pay the tunnel's call
-            # latency
-            best_state = _tree_take(warm.state, best)
+            best_state, elbo_dev, binom_dev = _warm_select(
+                counts, batched, priors, cfg, max_iter_init,
+                delay_fit_theta)
+            # reference-style reported values: f64 host addition of the
+            # binomial constant (selection already happened on device —
+            # the winner slice never fetches the (R, C, K) batch)
+            elbo_all = np.asarray(jax.device_get(elbo_dev)) \
+                + float(jax.device_get(binom_dev))
         if checkpoint_dir:
             ckpt.save_state(checkpoint_dir, 0, best_state,
                             extra={"elbo_all": elbo_all},
@@ -417,10 +454,10 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
                   % (np.min(elbo_all), np.median(elbo_all),
                      np.max(elbo_all)))
     else:
-        with phase("model_build"):   # host round-trip of the winning
-            modelCA = _model_from_state(    # state (link-bound on a
-                counts, cfg_kwargs, n_donor_use,  # remote accelerator)
-                learn_GT, best_state, GT_prior_use, dtype)
+        with phase("model_build"):
+            modelCA = _model_from_state(
+                counts, cfg_kwargs, n_donor_use, learn_GT, best_state,
+                GT_prior_use, dtype, device_state=device_init)
         modelCA.ELBO_ = np.asarray([elbo_all[np.argmax(elbo_all)]])
 
         # ---- long refit of the winner / extra-donor reduction
