@@ -225,3 +225,27 @@ def test_device_init_default_unseeded(small_data, monkeypatch):
     W.vireo_wrap(AD, DP, **kw)
     W.vireo_wrap(AD, DP, **kw)
     assert len(seeds) == 2 and seeds[0] != seeds[1]
+
+
+def test_warm_select_argmax_invariant():
+    """The fused warm phase selects by device argmax over RAW f32
+    restart ELBOs; the reference selects by host argmax after adding
+    the (f64) binomial constant. Adding one constant is monotone and
+    preserves exact ties, so the indices always agree — verified over
+    random vectors with planted exact ties and near-ties at the f32
+    resolution limit."""
+    import jax.numpy as jnp
+    rng = np.random.RandomState(0)
+    for _ in range(200):
+        n = rng.randint(2, 40)
+        e = (rng.randn(n) * 10 - 1e6).astype(np.float32)
+        if rng.rand() < 0.5:                 # plant an exact tie
+            i, j = rng.choice(n, 2, replace=False)
+            e[j] = e[i]
+        if rng.rand() < 0.5:                 # near-tie at f32 ulp
+            i, j = rng.choice(n, 2, replace=False)
+            e[j] = np.nextafter(e[i], np.float32(np.inf), dtype=np.float32)
+        c = float(rng.rand() * 1e7)          # binomial-constant scale
+        host = int(np.argmax(e.astype(np.float64) + c))
+        dev = int(jnp.argmax(jnp.asarray(e)))
+        assert host == dev
