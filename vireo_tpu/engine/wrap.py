@@ -20,7 +20,7 @@ from ..ops.counts import (DenseCounts, SparseCounts, HybridCounts,
                           counts_from_scipy)
 from ..utils.fetch import host_fetch
 from ..ops.matching import optimal_match, donor_select
-from ..models.vireo import (Vireo, VireoConfig, init_state, default_priors,
+from ..models.vireo import (Vireo, VireoConfig, default_priors,
                             fit_vb)
 from ..models.doublet import predict_doublet
 from ..models.ambient import predit_ambient
@@ -151,6 +151,48 @@ def _warm_select(counts, batched, priors, cfg, max_iter_init,
     best = jnp.argmax(warm.elbo_ref)
     return (_tree_take(warm.state, best), warm.elbo_ref,
             counts.binom_coeff_sum())
+
+
+def _host_batched_init(cfg, n_init, GT_prior_use, rng, dtype,
+                       n_cell_draw=None):
+    """The reference's per-restart np.random draws (identical stream
+    order and per-restart normalization, vireo_model.py:95-104),
+    assembled into ONE batched host array per field and uploaded once
+    — the per-restart `init_state` + device-stack path paid ~80 device
+    calls and gigabytes of host copies at the 100k-cell scale.
+
+    `n_cell_draw` < cfg.n_cell draws at the true cell count and pads
+    the remainder with the uniform prior (mesh cell padding must not
+    shift the host RNG stream)."""
+    from ..models.vireo import VireoState
+    L, G = cfg.theta_len, cfg.n_GT
+    K = cfg.n_donor
+    C = cfg.n_cell
+    c_draw = C if n_cell_draw is None else int(n_cell_draw)
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+
+    id_b = np.empty((n_init, C, K), np_dtype)
+    gt_b = np.empty((n_init, cfg.n_var, K, G), np_dtype)
+    id_b[:, c_draw:, :] = 1.0 / K
+    if GT_prior_use is not None:
+        gp = np.asarray(GT_prior_use, np.float64)
+        gp = gp / gp.sum(-1, keepdims=True)
+    for i in range(n_init):
+        idp = rng.rand(c_draw, K)
+        id_b[i, :c_draw] = idp / idp.sum(1, keepdims=True)
+        if GT_prior_use is None:
+            gtp = rng.rand(cfg.n_var, K, G)
+            gt_b[i] = gtp / gtp.sum(-1, keepdims=True)
+        else:
+            gt_b[i] = gp
+    beta_mu = np.broadcast_to(
+        (np.ones((L, G)) * np.linspace(0.01, 0.99, G)[None, :]).astype(
+            np_dtype), (n_init, L, G))
+    beta_sum = np.full((n_init, L, G), 50.0, np_dtype)
+    return VireoState(beta_mu=jnp.asarray(beta_mu),
+                      beta_sum=jnp.asarray(beta_sum),
+                      gt_prob=jnp.asarray(gt_b),
+                      id_prob=jnp.asarray(id_b))
 
 
 def _device_batched_init(cfg, n_init, seed, GT_prior_use, dtype):
@@ -393,22 +435,13 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
                 batched = _device_batched_init(cfg, n_init, dseed,
                                                GT_prior_use, dtype)
             else:
-                # draw at the TRUE cell count (padded cells carry zero
+                # draws at the TRUE cell count (padded cells carry zero
                 # counts — their posterior is the prior after one step
                 # regardless of init), so the host RNG stream matches
                 # an unpadded run of the same seed
-                cfg_draw = dataclasses.replace(cfg, n_cell=n_cell_in)
-                states = [init_state(cfg_draw, GT_prob_init=GT_prior_use,
-                                     rng=rng, dtype=dtype)
-                          for _ in range(n_init)]
-                batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
-                if n_pad_cells:
-                    pad = jnp.full((n_init, n_pad_cells, n_donor_use),
-                                   1.0 / n_donor_use, dtype)
-                    batched = dataclasses.replace(
-                        batched,
-                        id_prob=jnp.concatenate([batched.id_prob, pad],
-                                                axis=1))
+                batched = _host_batched_init(cfg, n_init, GT_prior_use,
+                                             rng, dtype,
+                                             n_cell_draw=n_cell_in)
             if mesh is not None and isinstance(counts, DenseCounts):
                 # place the (R, C, K) assignment batch cell-sharded next
                 # to the data; the (R, V, K, G) genotype batch follows
