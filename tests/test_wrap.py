@@ -249,3 +249,45 @@ def test_warm_select_argmax_invariant():
         host = int(np.argmax(e.astype(np.float64) + c))
         dev = int(jnp.argmax(jnp.asarray(e)))
         assert host == dev
+
+
+def test_host_batched_init_stream_parity():
+    """_host_batched_init draws the EXACT np.random stream and values
+    of the per-restart init_state + stack path (bit-identical), with
+    and without a GT prior, and pads mesh cells with the uniform
+    prior without consuming stream."""
+    import jax
+    import jax.numpy as jnp
+    from vireo_tpu.models.vireo import VireoConfig, init_state
+    from vireo_tpu.engine.wrap import _host_batched_init
+
+    cfg = VireoConfig(n_var=40, n_cell=30, n_donor=3)
+    for prior in (None, np.random.RandomState(9).dirichlet(
+            [1.0] * 3, size=(40, 3))):
+        np.random.seed(5)
+        new = _host_batched_init(cfg, 4, prior, np.random, jnp.float32)
+        tail_new = np.random.rand()
+        np.random.seed(5)
+        states = [init_state(cfg, GT_prob_init=prior, rng=np.random,
+                             dtype=jnp.float32) for _ in range(4)]
+        old = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        tail_old = np.random.rand()
+        assert tail_new == tail_old, "stream positions diverged"
+        for f in ("id_prob", "gt_prob", "beta_mu", "beta_sum"):
+            np.testing.assert_array_equal(np.asarray(getattr(new, f)),
+                                          np.asarray(getattr(old, f)))
+
+    # padded draw: rows beyond n_cell_draw are the uniform prior and
+    # the stream equals an unpadded draw
+    cfg_pad = VireoConfig(n_var=40, n_cell=32, n_donor=3)
+    np.random.seed(7)
+    padded = _host_batched_init(cfg_pad, 2, None, np.random, jnp.float32,
+                                n_cell_draw=30)
+    tail_pad = np.random.rand()
+    np.random.seed(7)
+    unpadded = _host_batched_init(cfg, 2, None, np.random, jnp.float32)
+    assert np.random.rand() == tail_pad
+    np.testing.assert_array_equal(np.asarray(padded.id_prob[:, :30]),
+                                  np.asarray(unpadded.id_prob))
+    np.testing.assert_array_equal(np.asarray(padded.id_prob[:, 30:]),
+                                  np.full((2, 2, 3), 1 / 3, np.float32))
