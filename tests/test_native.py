@@ -156,3 +156,49 @@ def test_native_union_matches_scipy_path(monkeypatch):
         for g, w in zip(got, want):
             np.testing.assert_array_equal(np.asarray(g, np.float64),
                                           np.asarray(w, np.float64))
+
+
+def test_mtx_unsupported_banner_falls_back_to_scipy(tmp_path):
+    """'array'-format and 'symmetric' MatrixMarket files must NOT be
+    claimed by the native coordinate/general parser (an array file's
+    2-field size line would parse as nnz=0 — silent data loss; a
+    symmetric file would load only the stored triangle). Both fast
+    paths refuse and read_mtx lands on scipy.io.mmread."""
+    import scipy.io
+    from vireo_tpu.io.fast import read_mtx_fast, native_available
+    from vireo_tpu.io.matrices import read_mtx
+
+    arr = tmp_path / "arr.mtx"
+    with open(arr, "w") as f:
+        f.write("%%MatrixMarket matrix array real general\n")
+        f.write("2 3\n")
+        for v in (1.5, 2.0, 0.0, 4.0, 5.0, 6.5):   # column-major
+            f.write("%g\n" % v)
+
+    sym = tmp_path / "sym.mtx"
+    with open(sym, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real symmetric\n")
+        f.write("3 3 4\n")
+        f.write("1 1 2\n2 1 3\n3 2 4\n3 3 5\n")    # lower triangle
+
+    import scipy.sparse as sp
+    for path in (arr, sym):
+        if native_available():
+            assert read_mtx_fast(str(path)) is None
+        got = read_mtx(str(path))
+        want = sp.csc_matrix(scipy.io.mmread(str(path)))
+        assert got.shape == want.shape
+        assert (got != want).nnz == 0
+
+
+def test_native_tsv_writer_rejects_overwide_format(tmp_path):
+    """A format/value pair wider than the stack buffer must fail
+    loudly (rc != 0) instead of appending past the buffer."""
+    from vireo_tpu.io.fast import write_matrix_tsv_fast, native_available
+    if not native_available():
+        pytest.skip("native library unavailable")
+    mat = np.ones((2, 2)) * 1.234567
+    ok = write_matrix_tsv_fast(str(tmp_path / "w.tsv"),
+                               ["cell", "a", "b"], ["c0", "c1"],
+                               mat, "%200.100f")
+    assert ok is False

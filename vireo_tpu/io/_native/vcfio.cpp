@@ -14,6 +14,7 @@
 #include <zlib.h>
 
 #include <algorithm>
+#include <cctype>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -396,6 +397,18 @@ void cellvcf_free(CellVcfView* view) {
   delete view;
 }
 
+// True when the MatrixMarket banner declares the one layout these
+// readers implement: "coordinate" entries with "general" symmetry.
+// Anything else ("array" would mis-parse its 2-field size line as
+// nnz=0; "symmetric" stores only one triangle) must return -1 so the
+// caller falls back to scipy.io.mmread, which handles every variant.
+static bool mm_banner_supported(const char* line, size_t len) {
+  std::string banner(line, len);
+  for (char& c : banner) c = static_cast<char>(tolower(c));
+  return banner.find("coordinate") != std::string::npos &&
+         banner.find("general") != std::string::npos;
+}
+
 // Fast MatrixMarket coordinate reader: fills row/col/val arrays.
 // Returns nnz on success, -1 on error.  Two-call protocol: first call
 // with rows==nullptr to get dims+nnz, then with allocated buffers.
@@ -408,6 +421,7 @@ int64_t mmread_coo(const char* path, int64_t* shape_out, int32_t* rows,
   // header
   if (!reader.next(&line, &len)) return -1;
   if (len < 14 || memcmp(line, "%%MatrixMarket", 14) != 0) return -1;
+  if (!mm_banner_supported(line, len)) return -1;
   // skip comments
   for (;;) {
     if (!reader.next(&line, &len)) return -1;
@@ -456,6 +470,7 @@ int64_t mmread_csc(const char* path, int64_t* shape_out, int64_t* indptr,
   size_t len;
   if (!reader.next(&line, &len)) return -1;
   if (len < 14 || memcmp(line, "%%MatrixMarket", 14) != 0) return -1;
+  if (!mm_banner_supported(line, len)) return -1;
   for (;;) {
     if (!reader.next(&line, &len)) return -1;
     if (len > 0 && line[0] != '%') break;
@@ -581,7 +596,13 @@ int64_t write_matrix_tsv(const char* path, const char* header,
     const double* row = mat + i * n_cols;
     for (int64_t j = 0; j < n_cols; ++j) {
       buf[0] = '\t';
+      // snprintf returns the untruncated would-be length; a value that
+      // does not fit the buffer is a caller error (fmt is a parameter)
       int m = snprintf(buf + 1, sizeof(buf) - 1, fmt, row[j]);
+      if (m < 0 || m >= static_cast<int>(sizeof(buf)) - 1) {
+        ok = false;
+        break;
+      }
       out.append(buf, static_cast<size_t>(m + 1));
     }
     out.push_back('\n');

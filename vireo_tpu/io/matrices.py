@@ -36,6 +36,13 @@ def read_mtx(path):
         header = f.readline()
         if not header.startswith("%%MatrixMarket"):
             raise ValueError("not a MatrixMarket file: %s" % path)
+        if "coordinate" not in header.lower() \
+                or "general" not in header.lower():
+            # 'array' format or non-general symmetry: only scipy's
+            # full reader handles these (the native parser refuses
+            # them too, so both fast paths land here)
+            import scipy.io as sio
+            return sp.csc_matrix(sio.mmread(path))
         line = f.readline()
         while line.startswith("%"):
             line = f.readline()
