@@ -1,6 +1,7 @@
 """Dense vs sparse Counts backend equivalence."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from vireo_tpu.ops.counts import dense_counts, sparse_counts
@@ -256,3 +257,88 @@ def test_cols_delta_roundtrip():
     enc = _encode_cols_delta(np.arange(50))
     got = np.asarray(_decode_cols(enc))
     np.testing.assert_array_equal(got, np.arange(50))
+
+
+def _mesh2d_sharding(nv, nc):
+    from jax.sharding import NamedSharding
+    from vireo_tpu.parallel.mesh import make_mesh2d, count_spec
+    mesh = make_mesh2d(nv, nc)
+    return mesh, NamedSharding(mesh, count_spec(mesh))
+
+
+def test_packed_rung_on_mesh2d_shards_cell_axis(small_data):
+    """On a 2-D vars x cells mesh the packed rung must split cells
+    along the CELLS axis (advisor round-4: the first non-None spec
+    axis is 'vars', which split packed bytes over the wrong extent
+    and replicated them across cells)."""
+    import scipy.sparse as sp
+    from vireo_tpu.ops.counts import counts_from_scipy
+    from vireo_tpu.ops.packed import MeshPackedCounts
+    from vireo_tpu.parallel.mesh import CELL_AXIS
+
+    AD, DP, _ = small_data
+    AD = sp.csc_matrix(np.minimum(AD.toarray(), 15.0))
+    DP = sp.csc_matrix(np.minimum(DP.toarray(), 15.0))
+    mesh, sharding = _mesh2d_sharding(2, 4)
+    n_elems = AD.shape[0] * AD.shape[1]
+    got = counts_from_scipy(AD, DP, max_dense_elems=0,
+                            dense_budget=1.5 * n_elems,
+                            sharding=sharding)
+    assert isinstance(got, MeshPackedCounts)
+    assert got.axis == CELL_AXIS
+    assert got.n_shards == 4
+
+    # contraction parity against the exact dense pair
+    W = np.random.RandomState(5).rand(AD.shape[1], 3)
+    S1, SS = (np.asarray(x) for x in got.suff_stats(jnp.asarray(W)))
+    np.testing.assert_allclose(S1, AD.toarray() @ W, rtol=1e-6)
+    np.testing.assert_allclose(SS, DP.toarray() @ W, rtol=1e-6)
+
+
+def test_packed_budget_counts_cell_extent_only(small_data, monkeypatch):
+    """The packed rungs' auto budget aggregates over the CELL extent
+    only (MeshPackedCounts is 1-D): a per-chip budget that would fit
+    packed bytes over all 8 devices but not over the 4 cell shards
+    must NOT admit the packed rung (it would overshoot per-chip HBM
+    ~Nv-fold at the boundary)."""
+    import scipy.sparse as sp
+    from vireo_tpu.ops.counts import counts_from_scipy, SparseCounts
+
+    AD, DP, _ = small_data
+    AD = sp.csc_matrix(np.minimum(AD.toarray(), 15.0))
+    DP = sp.csc_matrix(np.minimum(DP.toarray(), 15.0))
+    mesh, sharding = _mesh2d_sharding(2, 4)
+    n_elems = AD.shape[0] * AD.shape[1]
+    # per-chip budget: E/6 -> dense (2E > 8p) and packed (E > 4p)
+    # both fail; the pre-fix factor-8 sizing would have taken packed
+    monkeypatch.setenv("VIREO_DENSE_BUDGET_GB",
+                       repr(n_elems / 6.0 / 2**30))
+    got = counts_from_scipy(AD, DP, max_dense_elems=0, sharding=sharding)
+    assert isinstance(got, SparseCounts)
+
+
+def test_densify_uneven_vars_on_mesh2d_stays_sharded(small_data):
+    """Scatter-densify with a 2-D sharding whose vars extent does not
+    divide n_var: the result must be correct AND land on the requested
+    sharding via an extent-padded sharded scatter (advisor round-4:
+    the old fallback materialized the FULL dense pair on one device —
+    the exact matrix a capacity mesh exists to avoid)."""
+    import scipy.sparse as sp
+    from vireo_tpu.ops.counts import counts_from_scipy, DenseCounts
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    AD, DP, _ = small_data
+    AD, DP = AD[:57, :], DP[:57, :]      # 57 % 2 != 0 on the vars axis
+    mesh, sharding = _mesh2d_sharding(2, 4)
+    with pytest.warns(UserWarning, match="not divisible"):
+        got = counts_from_scipy(AD, DP, max_dense_elems=0,
+                                sharding=sharding)
+    assert isinstance(got, DenseCounts)
+    assert got.ad.shape == (57, 40)
+    # vars axis dropped (57 % 2 != 0), cells axis kept: still sharded
+    want = NamedSharding(mesh, P(None, "cells"))
+    assert got.ad.sharding.is_equivalent_to(want, 2)
+    np.testing.assert_array_equal(np.asarray(got.ad, dtype=np.float64),
+                                  AD.toarray())
+    np.testing.assert_array_equal(np.asarray(got.dp, dtype=np.float64),
+                                  DP.toarray())

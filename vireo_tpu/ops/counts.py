@@ -1004,23 +1004,30 @@ def _densify_triplets(rows, cols, ad_v, dp_v, shape, dtype,
             bufs = add_chunk(n_full * blk, rem, bufs)
         return bufs
 
-    place_after = False
     if sharding is not None:
         try:
             sharding.shard_shape(shape)
-            scatter = jax.jit(scatter,
-                              out_shardings=(sharding, sharding))
         except Exception:
-            # unevenly sharded dim: out_shardings requires exact
-            # divisibility, device_put pads internally
-            place_after = True
-            scatter = jax.jit(scatter)
+            # unevenly sharded dim (out_shardings requires exact
+            # divisibility, and device_put enforces the same): drop
+            # the non-dividing axes from the spec and scatter into the
+            # reduced sharding — still split along the remaining axes.
+            # The previous fallback built the FULL dense pair
+            # unsharded, which is exactly the matrix a capacity mesh
+            # exists because one chip cannot hold (advisor round-4).
+            import warnings
+            reduced = _divisible_sharding(shape, sharding)
+            warnings.warn(
+                "[vireo] count shape %s is not divisible by the "
+                "requested sharding %s; densifying with the reduced "
+                "spec %s (pad the uneven axis to a multiple of its "
+                "mesh extent for the full split)"
+                % (shape, sharding.spec, reduced.spec))
+            sharding = reduced
+        scatter = jax.jit(scatter, out_shardings=(sharding, sharding))
     else:
         scatter = jax.jit(scatter)
     ad, dp = scatter(ad_v, dp_v, rows, cols)
-    if place_after:
-        ad = jax.device_put(ad, sharding)
-        dp = jax.device_put(dp, sharding)
     return DenseCounts(ad, dp)
 
 
@@ -1139,6 +1146,43 @@ def _shard_factor(sharding):
         return 1
 
 
+def _divisible_sharding(shape, sharding):
+    """`sharding` with every spec axis whose mesh extent does not
+    divide the corresponding dim dropped (replicated). Always valid
+    for `out_shardings`; equals the input when all dims divide."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    spec = list(sharding.spec) + [None] * (len(shape) - len(sharding.spec))
+    kept = tuple(
+        ax if ax is not None and s % int(sharding.mesh.shape[ax]) == 0
+        else None
+        for s, ax in zip(shape, spec))
+    return NamedSharding(sharding.mesh, PartitionSpec(*kept))
+
+
+def _cell_axis_of(sharding):
+    """The CELL axis of a count sharding — the LAST non-None spec entry
+    (count_spec is P(vars?, cells)). The packed layout shards cells
+    ONLY, so this (not the first non-None axis) is what
+    pack_scipy_sharded must split along."""
+    axes = [a for a in sharding.spec if a is not None]
+    return axes[-1] if axes else None
+
+
+def _packed_shard_factor(sharding):
+    """Number of ways the PACKED layout splits the count bytes: only
+    the cell axis — MeshPackedCounts is 1-D, so on a 2-D vars x cells
+    mesh the packed budget must NOT aggregate over the vars extent
+    (advisor round-4 finding: sizing with the full device count risks
+    an ~Nv-fold per-chip overshoot at the capacity boundary)."""
+    if sharding is None:
+        return 1
+    try:
+        ax = _cell_axis_of(sharding)
+        return max(int(sharding.mesh.shape[ax]), 1) if ax else 1
+    except Exception:
+        return 1
+
+
 def counts_from_scipy(AD, DP, dtype=jnp.float32, max_dense_elems=64_000_000,
                       dense_budget=None, sharding=None, verbose=False):
     """Pick the TPU-side representation for a scipy/numpy AD-DP pair.
@@ -1177,11 +1221,16 @@ def counts_from_scipy(AD, DP, dtype=jnp.float32, max_dense_elems=64_000_000,
     dense_dtype = exact_count_dtype(vmax)
     if dense_budget is not None:
         budget = dense_budget          # explicit budgets are TOTALS
+        packed_budget = dense_budget
     else:
         # a mesh sharding splits the dense layouts across chips: the
         # ladder sizes against the AGGREGATE HBM of the chips it spans
-        # (this is what makes n-chip pools n times larger per rung)
+        # (this is what makes n-chip pools n times larger per rung).
+        # The packed rungs shard along the CELL axis only, so their
+        # budget aggregates over that extent alone.
         budget = device_dense_budget() * _shard_factor(sharding)
+        packed_budget = device_dense_budget() * _packed_shard_factor(
+            sharding)
     need = 2 * n_elems * jnp.dtype(dense_dtype).itemsize
     if need <= budget:
         if verbose:
@@ -1212,20 +1261,20 @@ def counts_from_scipy(AD, DP, dtype=jnp.float32, max_dense_elems=64_000_000,
     # so multi-chip pools get the 2x capacity too.
     from .packed import PACK_MAX
     packed_ok = os.environ.get("VIREO_NO_PACKED", "0") != "1"
-    if vmax <= PACK_MAX and n_elems <= budget and packed_ok:
+    if vmax <= PACK_MAX and n_elems <= packed_budget and packed_ok:
         if verbose:
             print("[vireo] %dx%d counts (max %.0f) packed 2-per-byte on "
                   "device (%.1f GiB)" % (AD.shape[0], AD.shape[1], vmax,
                                          n_elems / 2**30))
         if sharding is not None and sharding.mesh.devices.size > 1:
             from .packed import pack_scipy_sharded
-            axis = next(a for a in sharding.spec if a is not None)
-            return pack_scipy_sharded(AD, DP, sharding.mesh, axis=axis)
+            return pack_scipy_sharded(AD, DP, sharding.mesh,
+                                      axis=_cell_axis_of(sharding))
         return _pack_triplets(rows, cols, ad_v, dp_v, shape)
     # packed hybrid rung: nibble base clipped at 15 + overflow residual
     # — the half-footprint capacity rung without the count-magnitude
     # restriction.
-    if vmax > PACK_MAX and n_elems <= budget and packed_ok \
+    if vmax > PACK_MAX and n_elems <= packed_budget and packed_ok \
             and not no_hybrid:
         if verbose:
             print("[vireo] %dx%d counts (max %.0f) split into packed "
@@ -1234,10 +1283,10 @@ def counts_from_scipy(AD, DP, dtype=jnp.float32, max_dense_elems=64_000_000,
         base = None
         if sharding is not None and sharding.mesh.devices.size > 1:
             from .packed import pack_scipy_sharded
-            axis = next(a for a in sharding.spec if a is not None)
             base = pack_scipy_sharded(_scipy_clip(AD, PACK_MAX),
                                       _scipy_clip(DP, PACK_MAX),
-                                      sharding.mesh, axis=axis)
+                                      sharding.mesh,
+                                      axis=_cell_axis_of(sharding))
         return _hybrid_from_triplets(rows, cols, ad_v, dp_v, shape,
                                      PACK_MAX, "packed",
                                      sharding=sharding, base=base)
