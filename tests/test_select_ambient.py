@@ -153,3 +153,81 @@ def test_ambient_chunked_cols_matches_batch():
     for g, w in zip(got8, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=1e-12, atol=1e-12)
+
+
+def test_k_sweep_batched_init_preserves_seeded_stream():
+    """sweep_n_donor routes restarts through the wrap's batched-init
+    machinery (one upload per K); the seeded host path must stay
+    stream-identical to per-restart init_state draws (VERDICT r4 #5)."""
+    import jax
+    import jax.numpy as jnp
+    from vireo_tpu.engine.select import sweep_n_donor
+    from vireo_tpu.models.vireo import (VireoConfig, init_state,
+                                        default_priors, fit_vb)
+    from vireo_tpu.ops.counts import counts_from_scipy
+    from vireo_tpu.sim.synth import synth_pool_counts
+
+    pool = synth_pool_counts(n_var=200, n_cell=150, n_donor=3,
+                             density=0.3, mean_extra_depth=1.0, seed=3)
+    ks, n_init = (2, 3), 3
+    sweep = sweep_n_donor(pool["AD"], pool["DP"], n_donor_list=ks,
+                          n_init=n_init, max_iter_init=15,
+                          random_seed=9, dtype=jnp.float64,
+                          verbose=False)
+
+    # the old per-restart reference path, same stream
+    counts = counts_from_scipy(pool["AD"], pool["DP"], dtype=jnp.float64)
+    binom = float(jax.device_get(counts.binom_coeff_sum()))
+    np.random.seed(9)
+    for K in ks:
+        cfg = VireoConfig(n_var=counts.n_var, n_cell=counts.n_cell,
+                          n_donor=K)
+        priors = default_priors(cfg, dtype=jnp.float64)
+        states = [init_state(cfg, rng=np.random, dtype=jnp.float64)
+                  for _ in range(n_init)]
+        batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        res = jax.vmap(lambda st: fit_vb(
+            counts, st, priors, cfg, max_iter=15, min_iter=5,
+            delay_fit_theta=3))(batched)
+        want = np.asarray(jax.device_get(res.elbo_ref)) + binom
+        np.testing.assert_array_equal(sweep[K], want)
+
+
+def test_k_sweep_unseeded_uses_device_init(monkeypatch):
+    """Unseeded sweeps draw restart inits on device (no host upload);
+    forcing the knob on with a seed still works and is deterministic."""
+    import jax.numpy as jnp
+    from vireo_tpu.engine import select as sel
+    from vireo_tpu.engine import wrap as wrapmod
+    from vireo_tpu.sim.synth import synth_pool_counts
+
+    pool = synth_pool_counts(n_var=200, n_cell=150, n_donor=3,
+                             density=0.3, mean_extra_depth=1.0, seed=3)
+
+    called = dict(host=0, dev=0)
+    orig_host = wrapmod._host_batched_init
+    orig_dev = wrapmod._device_batched_init
+
+    def host(*a, **k):
+        called["host"] += 1
+        return orig_host(*a, **k)
+
+    def dev(*a, **k):
+        called["dev"] += 1
+        return orig_dev(*a, **k)
+
+    monkeypatch.setattr(wrapmod, "_host_batched_init", host)
+    monkeypatch.setattr(wrapmod, "_device_batched_init", dev)
+    sel.sweep_n_donor(pool["AD"], pool["DP"], n_donor_list=(2, 3),
+                      n_init=2, max_iter_init=10, dtype=jnp.float32,
+                      verbose=False)
+    assert called == {"host": 0, "dev": 2}
+
+    monkeypatch.setenv("VIREO_DEVICE_INIT", "1")
+    a = sel.sweep_n_donor(pool["AD"], pool["DP"], n_donor_list=(2,),
+                          n_init=2, max_iter_init=10, random_seed=4,
+                          dtype=jnp.float32, verbose=False)
+    b = sel.sweep_n_donor(pool["AD"], pool["DP"], n_donor_list=(2,),
+                          n_init=2, max_iter_init=10, random_seed=4,
+                          dtype=jnp.float32, verbose=False)
+    np.testing.assert_array_equal(a[2], b[2])

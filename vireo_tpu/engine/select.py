@@ -6,12 +6,14 @@ compare the ELBO distributions. Here the whole sweep is a first-class
 API; each K's restarts run as one vmapped device call.
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.counts import DenseCounts, SparseCounts, counts_from_scipy
-from ..models.vireo import (VireoConfig, init_state, default_priors, fit_vb)
+from ..ops.counts import counts_from_scipy
+from ..models.vireo import VireoConfig, default_priors, fit_vb
 from ..models.bmm import BinomMixtureVB
 
 __all__ = ["sweep_n_donor", "sweep_n_clone"]
@@ -25,8 +27,17 @@ def sweep_n_donor(AD, DP=None, n_donor_list=(2, 3, 4, 5, 6, 7, 8),
     Returns {K: np.array of per-restart ELBOs} plus "best" — the K
     maximizing the top ELBO. Mirrors the notebook recipe of box-plotting
     `ELBO_inits` across K.
+
+    The data counts are shared across the whole sweep, and each K's
+    restart states come from the wrap's batched-init machinery: seeded
+    runs assemble the reference-stream np.random draws into ONE host
+    array per field (one upload per K); unseeded runs draw on device
+    (no init upload at all) — the per-restart host-init/stack pattern
+    this replaces paid that upload once per restart per K.
     """
-    if isinstance(AD, (DenseCounts, SparseCounts)):
+    from .wrap import _host_batched_init, _device_batched_init
+
+    if hasattr(AD, "suff_stats"):       # already a device counts object
         counts = AD
     else:
         counts = counts_from_scipy(AD, DP, dtype=dtype)
@@ -34,15 +45,29 @@ def sweep_n_donor(AD, DP=None, n_donor_list=(2, 3, 4, 5, 6, 7, 8),
         np.random.seed(random_seed)
     rng = np.random
 
+    # mirror vireo_wrap's init placement policy (engine/wrap.py):
+    # host np.random draws exist only for seeded-stream parity
+    _knob = os.environ.get("VIREO_DEVICE_INIT", "").lower()
+    if _knob in ("1", "on", "yes"):
+        device_init = True
+    elif _knob in ("0", "off", "no"):
+        device_init = False
+    else:
+        device_init = random_seed is None
+
     binom = float(jax.device_get(counts.binom_coeff_sum()))
     out = {}
     for K in n_donor_list:
         cfg = VireoConfig(n_var=counts.n_var, n_cell=counts.n_cell,
                           n_donor=int(K))
         priors = default_priors(cfg, dtype=dtype)
-        states = [init_state(cfg, rng=rng, dtype=dtype)
-                  for _ in range(n_init)]
-        batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        if device_init:
+            dseed = random_seed if random_seed is not None \
+                else int(rng.randint(2 ** 31))
+            batched = _device_batched_init(cfg, n_init, dseed, None,
+                                           dtype)
+        else:
+            batched = _host_batched_init(cfg, n_init, None, rng, dtype)
         res = jax.vmap(lambda st: fit_vb(
             counts, st, priors, cfg, max_iter=max_iter_init, min_iter=5,
             delay_fit_theta=delay_fit_theta))(batched)
