@@ -475,3 +475,54 @@ def test_resolve_mesh_shape_env(monkeypatch):
     monkeypatch.setenv("VIREO_MESH_SHAPE", "2x4")
     mesh = _resolve_mesh("auto", 1000)
     assert dict(mesh.shape) == {VAR_AXIS: 2, CELL_AXIS: 4}
+
+
+def test_auto_mesh_elects_2d_when_var_state_busts_budget(small_data,
+                                                         monkeypatch):
+    """mesh="auto" election (VERDICT r4 #4): when the per-chip count
+    shard plus the 1-D-replicated variant-axis state exceeds the HBM
+    budget but sharding variants 2 ways fits, _resolve_mesh builds the
+    2-D vars x cells mesh automatically; the ladder stays dense and
+    the wrap result matches the single-device run."""
+    import scipy.sparse as sp
+    from vireo_tpu.engine.wrap import vireo_wrap, _resolve_mesh
+    from vireo_tpu.engine import wrap as wrapmod
+    from vireo_tpu.parallel.mesh import VAR_AXIS, CELL_AXIS
+    from vireo_tpu.sim.synth import synth_pool_counts
+
+    pool = synth_pool_counts(n_var=512, n_cell=128, n_donor=4,
+                             density=0.4, mean_extra_depth=2.0, seed=5)
+    AD, DP = pool["AD"], pool["DP"]
+
+    monkeypatch.setenv("VIREO_MESH_MIN_CELLS", "64")
+    # per-chip budget 0.5 MiB: 1-D needs count/8 + (16+2)*512*4*3*8 B
+    # (f64 warm gt batch) ~ 0.86 MiB -> fails; vars 2-way fits
+    monkeypatch.setenv("VIREO_DENSE_BUDGET_GB", repr(0.5 / 1024))
+
+    elected = {}
+    orig = wrapmod._resolve_mesh
+
+    def spy(mesh, n_cell, **kw):
+        m = orig(mesh, n_cell, **kw)
+        elected["mesh"] = m
+        return m
+
+    monkeypatch.setattr(wrapmod, "_resolve_mesh", spy)
+    kw = dict(n_donor=4, learn_GT=True, n_init=16, random_seed=17,
+              check_doublet=True, dtype=jnp.float64, verbose=False)
+    res_m = vireo_wrap(AD, DP, mesh="auto", **kw)
+    mesh = elected["mesh"]
+    assert mesh is not None and dict(mesh.shape) == {VAR_AXIS: 2,
+                                                     CELL_AXIS: 4}
+
+    monkeypatch.delenv("VIREO_DENSE_BUDGET_GB")
+    res_1 = vireo_wrap(AD, DP, mesh=None, **kw)
+    np.testing.assert_allclose(res_m["ID_prob"], res_1["ID_prob"],
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(res_m["LB_doublet"], res_1["LB_doublet"],
+                               rtol=1e-8)
+
+    # plenty of budget -> plain 1-D cells mesh (no election)
+    monkeypatch.setenv("VIREO_DENSE_BUDGET_GB", "16")
+    m = _resolve_mesh("auto", 128, count_bytes=1e6, var_state_bytes=1e6)
+    assert m is not None and VAR_AXIS not in m.axis_names

@@ -36,12 +36,22 @@ def _cell_sharding(mesh):
     return NamedSharding(mesh, count_spec(mesh))
 
 
-def _resolve_mesh(mesh, n_cell):
+def _resolve_mesh(mesh, n_cell, count_bytes=None, var_state_bytes=None,
+                  verbose=False):
     """mesh="auto": shard cells over all local devices when the data is
     big enough to pay for collectives (VIREO_MESH=off disables;
     VIREO_MESH_MIN_CELLS tunes the threshold; VIREO_MESH_SHAPE="2x4"
-    builds a 2-D vars-x-cells capacity mesh instead). Explicit Mesh /
-    None pass through."""
+    forces a 2-D vars-x-cells capacity mesh). Explicit Mesh / None
+    pass through.
+
+    When size hints are given, the 2-D capacity mesh is elected
+    AUTOMATICALLY: a 1-D cells mesh replicates every variant-axis array
+    per chip — dominated by the (n_init, n_var, K, G) warm genotype
+    batch — so when per-chip count shard + replicated variant state
+    exceeds the per-chip HBM budget but sharding variants `a` ways
+    would fit, the smallest power-of-two vars extent that fits wins
+    (round-4 verdict #4: previously 2-D was manual-only and such pools
+    fell down the ladder to packed/hybrid/COO instead)."""
     if mesh != "auto":
         return mesh
     import os
@@ -54,8 +64,61 @@ def _resolve_mesh(mesh, n_cell):
         if shape:
             nv, nc = (int(s) for s in shape.lower().split("x"))
             return make_mesh2d(nv, nc)
+        n_dev = len(jax.devices())
+        if var_state_bytes:
+            from ..ops.counts import device_dense_budget
+            budget = device_dense_budget()
+            per_chip = (count_bytes or 0) / n_dev
+            if per_chip + var_state_bytes > budget:
+                a = 2
+                while a <= n_dev // 2:
+                    if n_dev % a == 0 and \
+                            per_chip + var_state_bytes / a <= budget:
+                        if verbose:
+                            print("[vireo] replicated variant-axis "
+                                  "state (%.2f GiB) busts the per-chip "
+                                  "budget on a 1-D cells mesh; using a "
+                                  "%dx%d vars-x-cells capacity mesh"
+                                  % (var_state_bytes / 2**30, a,
+                                     n_dev // a))
+                        return make_mesh2d(a, n_dev // a)
+                    a *= 2
         return make_mesh()
     return None
+
+
+def _auto_mesh_hints(AD, DP, n_donor, GT_prior, n_extra_donor, n_init,
+                     n_GT, dtype):
+    """(count_bytes, var_state_bytes) estimates for the 2-D mesh
+    election in `_resolve_mesh`; (None, None) for pre-built counts
+    objects (already placed — no election).
+
+    count_bytes: both dense matrices in the smallest exact dtype the
+    ladder would pick. var_state_bytes: the variant-axis arrays a 1-D
+    cells mesh replicates per chip — dominated by the warm-restart
+    genotype batch (n_init, n_var, K, G) plus the fit/doublet copies.
+    """
+    if hasattr(AD, "suff_stats"):
+        return None, None
+    try:
+        from ..ops.counts import exact_count_dtype
+        import jax.numpy as _jnp
+        n_var, n_cell = (int(s) for s in AD.shape)
+        vmax = 0.0
+        for X in (AD, DP):
+            data = X.data if hasattr(X, "data") else np.asarray(X)
+            if getattr(data, "size", 0):
+                vmax = max(vmax, float(data.max()))
+        count_bytes = 2.0 * n_var * n_cell * _jnp.dtype(
+            exact_count_dtype(vmax)).itemsize
+        K = int(n_donor) if n_donor is not None else (
+            int(GT_prior.shape[1]) if GT_prior is not None else 8)
+        K += int(n_extra_donor or 0)
+        var_state_bytes = ((int(n_init) + 2) * n_var * K * n_GT
+                           * _jnp.dtype(dtype).itemsize)
+        return count_bytes, var_state_bytes
+    except Exception:
+        return None, None
 
 
 def _pad_cells(X, n_pad):
@@ -332,7 +395,12 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
 
     n_cell_in = AD.n_cell if hasattr(AD, "suff_stats") \
         else int(AD.shape[1])
-    mesh = _resolve_mesh(mesh, n_cell_in)
+    count_bytes, var_state_bytes = _auto_mesh_hints(
+        AD, DP, n_donor, GT_prior, n_extra_donor, n_init,
+        int(kwargs.get("n_GT", 3)), dtype)
+    mesh = _resolve_mesh(mesh, n_cell_in, count_bytes=count_bytes,
+                         var_state_bytes=var_state_bytes,
+                         verbose=verbose)
     # sharded placement needs the cell axis divisible by the mesh: pad
     # with zero-count cells (assignment = prior, removed from every
     # returned array below; random inits are drawn at the TRUE cell
