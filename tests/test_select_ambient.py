@@ -231,3 +231,34 @@ def test_k_sweep_unseeded_uses_device_init(monkeypatch):
                           n_init=2, max_iter_init=10, random_seed=4,
                           dtype=jnp.float32, verbose=False)
     np.testing.assert_array_equal(a[2], b[2])
+
+
+def test_ambient_min_gain_knob(small_data, capsys):
+    """vireo_wrap(ambient_min_gain=...) overrides the reference-parity
+    sqrt(n_cell)/3 SNP gate (exposed on the CLI as --ambientMinGain);
+    a high gate selects fewer SNPs, the default reproduces the
+    reference formula."""
+    import jax.numpy as jnp
+    from vireo_tpu.engine.wrap import vireo_wrap
+
+    AD, DP, _ = small_data
+    kw = dict(n_donor=3, learn_GT=True, n_init=2, random_seed=3,
+              check_doublet=False, check_ambient=True,
+              dtype=jnp.float64, verbose=False)
+
+    res_def = vireo_wrap(AD, DP, **kw)
+    out_def = capsys.readouterr().out
+    want_gate = np.sqrt(AD.shape[1]) / 3.0
+    assert ("ELBO_gain > %.1f" % want_gate) in out_def
+    assert res_def["ambient_Psi"] is not None
+
+    res_hi = vireo_wrap(AD, DP, ambient_min_gain=1e9, **kw)
+    out_hi = capsys.readouterr().out
+    assert "0 out %d SNPs" % AD.shape[0] in out_hi
+    assert res_hi["ambient_Psi"] is not None
+
+    import argparse
+    from vireo_tpu.cli.vireo_cli import build_parser
+    ns = build_parser().parse_args(
+        ["-c", "x", "-N", "2", "--ambientMinGain", "12.5"])
+    assert ns.ambient_min_gain == 12.5

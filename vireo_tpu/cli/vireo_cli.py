@@ -84,6 +84,13 @@ def build_parser():
     parser.add_argument("--callAmbientRNAs", dest="check_ambient",
                         default=False, action="store_true",
                         help="If use, detect ambient RNAs in each cell")
+    parser.add_argument("--ambientMinGain", type=float,
+                        dest="ambient_min_gain", default=None,
+                        help="Min per-SNP ELBO gain for the ambient-RNA "
+                             "EM (reference default sqrt(n_cell)/3, "
+                             "vireo_doublet.py:230-240; raise to trade "
+                             "weakly-informative SNPs for speed) "
+                             "[default: sqrt(n_cell)/3]")
     parser.add_argument("--nproc", "-p", type=int, dest="nproc", default=1,
                         help="Accepted for compatibility; restarts are "
                              "batched on device [default: %(default)s]")
@@ -265,6 +272,7 @@ def main(argv=None):
         extra_donor_mode=options.extra_donor_mode,
         check_doublet=check_doublet, random_seed=options.rand_seed,
         ASE_mode=options.ASE_mode, check_ambient=options.check_ambient,
+        ambient_min_gain=options.ambient_min_gain,
         nproc=options.nproc, checkpoint_dir=options.checkpoint_dir,
         timing=options.timing or None,
         mesh=_resolve_cli_mesh(options.mesh))

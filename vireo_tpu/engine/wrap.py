@@ -348,8 +348,9 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
                n_init=20, random_seed=None, check_doublet=True,
                max_iter_init=20, delay_fit_theta=3, n_extra_donor=0,
                extra_donor_mode="distance", check_ambient=False,
-               nproc=None, dtype=jnp.float32, verbose=True, mesh="auto",
-               checkpoint_dir=None, timing=None, **kwargs):
+               ambient_min_gain=None, nproc=None, dtype=jnp.float32,
+               verbose=True, mesh="auto", checkpoint_dir=None,
+               timing=None, **kwargs):
     """Run vireo with multiple initializations; returns the reference's
     result dict (vireo_wrap.py:170-183).
 
@@ -666,11 +667,16 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
                              (1 - modelCA.beta_mu) * modelCA.beta_sum,
                              axis=0)
 
-    # ---- ambient RNA (vireo_wrap.py:161-168)
+    # ---- ambient RNA (vireo_wrap.py:161-168). `ambient_min_gain`
+    # overrides the reference-parity SNP gate sqrt(n_cell)/3
+    # (vireo_doublet.py:230-240), which barely filters at scale —
+    # 27.5k/30k SNPs kept at the north star — so the phase cost is
+    # nearly proportional to n_var; a higher gate trades coverage of
+    # weakly-informative SNPs for time (see benchmarks/ambient_phase).
     if check_ambient:
         with phase("ambient"):
             ambient_Psi, Psi_var, Psi_logLik_ratio = predit_ambient(
-                modelCA, counts, None)
+                modelCA, counts, None, min_ELBO_gain=ambient_min_gain)
     else:
         ambient_Psi, Psi_var, Psi_logLik_ratio = None, None, None
 
