@@ -35,7 +35,7 @@ def sweep_n_donor(AD, DP=None, n_donor_list=(2, 3, 4, 5, 6, 7, 8),
     (no init upload at all) — the per-restart host-init/stack pattern
     this replaces paid that upload once per restart per K.
     """
-    from .wrap import _host_batched_init, _device_batched_init
+    from .wrap import _seeded_batched_init, _device_batched_init
 
     if hasattr(AD, "suff_stats"):       # already a device counts object
         counts = AD
@@ -67,7 +67,7 @@ def sweep_n_donor(AD, DP=None, n_donor_list=(2, 3, 4, 5, 6, 7, 8),
             batched = _device_batched_init(cfg, n_init, dseed, None,
                                            dtype)
         else:
-            batched = _host_batched_init(cfg, n_init, None, rng, dtype)
+            batched = _seeded_batched_init(cfg, n_init, None, rng, dtype)
         res = jax.vmap(lambda st: fit_vb(
             counts, st, priors, cfg, max_iter=max_iter_init, min_iter=5,
             delay_fit_theta=delay_fit_theta))(batched)

@@ -258,6 +258,91 @@ def _host_batched_init(cfg, n_init, GT_prior_use, rng, dtype,
                       id_prob=jnp.asarray(id_b))
 
 
+def _mt_batched_init(cfg, n_init, GT_prior_use, rng, dtype,
+                     n_cell_draw=None):
+    """The reference's per-restart np.random draws REGENERATED ON
+    DEVICE from ~2.5 MB of MT19937 lane states (ops/mt19937.py),
+    replacing `_host_batched_init`'s ~240 MB float upload at the
+    100k-cell scale. The host stream advances exactly as if it had
+    drawn the inits itself, so later host draws stay stream-identical.
+
+    With x64 enabled (CPU parity suite) the produced VireoState is
+    BIT-IDENTICAL to `_host_batched_init` — the double transform is
+    exact in f64 and the normalizations replicate numpy's pairwise
+    summation order. Without x64 (TPU production) the transform rounds
+    once to f32 (~1e-7 relative): deterministic, same init quality,
+    not bit-matched — which is why `_seeded_batched_init` only routes
+    streams far above demo-golden scale here by default.
+    """
+    from ..ops.mt19937 import (plan_stream, device_stream,
+                               np_pairwise_sum_last)
+    from ..models.vireo import VireoState
+    L, G = cfg.theta_len, cfg.n_GT
+    K, C, V = cfg.n_donor, cfg.n_cell, cfg.n_var
+    c_draw = C if n_cell_draw is None else int(n_cell_draw)
+    gt_draw = 0 if GT_prior_use is not None else V * K * G
+    per = c_draw * K + gt_draw
+    plan = plan_stream(n_init * per, rng=rng)
+    stream = device_stream(plan)
+
+    gp = None
+    if GT_prior_use is not None:
+        gp = np.asarray(GT_prior_use, np.float64)
+        gp = gp / gp.sum(-1, keepdims=True)
+
+    @jax.jit
+    def build(stream):
+        flat = stream.reshape(n_init, per)
+        idp = flat[:, :c_draw * K].reshape(n_init, c_draw, K)
+        idn = (idp / np_pairwise_sum_last(idp)[..., None]).astype(dtype)
+        if c_draw < C:
+            pad = jnp.full((n_init, C - c_draw, K), 1.0 / K, dtype)
+            idn = jnp.concatenate([idn, pad], axis=1)
+        if gt_draw:
+            gtp = flat[:, c_draw * K:].reshape(n_init, V, K, G)
+            gtn = (gtp
+                   / np_pairwise_sum_last(gtp)[..., None]).astype(dtype)
+        else:
+            gtn = jnp.broadcast_to(jnp.asarray(gp, dtype),
+                                   (n_init, V, K, G))
+        return idn, gtn
+
+    idn, gtn = build(stream)
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    beta_mu = np.broadcast_to(
+        (np.ones((L, G)) * np.linspace(0.01, 0.99, G)[None, :]).astype(
+            np_dtype), (n_init, L, G))
+    beta_sum = np.full((n_init, L, G), 50.0, np_dtype)
+    return VireoState(beta_mu=jnp.asarray(beta_mu),
+                      beta_sum=jnp.asarray(beta_sum),
+                      gt_prob=gtn, id_prob=idn)
+
+
+def _seeded_batched_init(cfg, n_init, GT_prior_use, rng, dtype,
+                         n_cell_draw=None):
+    """Seeded-run init dispatch: the reference-parity np.random stream,
+    assembled either on host (one batched upload) or regenerated on
+    device (ops/mt19937.py). VIREO_DEVICE_MT=1/0 forces a path; the
+    default routes streams >= 2^23 doubles (~67 MB upload) to the
+    device generator — demo-scale golden runs stay on the bit-for-bit
+    host path, large pools skip the upload entirely."""
+    import os
+    c_draw = cfg.n_cell if n_cell_draw is None else int(n_cell_draw)
+    n_total = n_init * (c_draw * cfg.n_donor
+                        + (0 if GT_prior_use is not None
+                           else cfg.n_var * cfg.n_donor * cfg.n_GT))
+    knob = os.environ.get("VIREO_DEVICE_MT", "auto").lower()
+    if knob in ("1", "on", "yes"):
+        use_mt = True
+    elif knob in ("0", "off", "no"):
+        use_mt = False
+    else:
+        use_mt = n_total >= (1 << 23)
+    init = _mt_batched_init if use_mt else _host_batched_init
+    return init(cfg, n_init, GT_prior_use, rng, dtype,
+                n_cell_draw=n_cell_draw)
+
+
 def _device_batched_init(cfg, n_init, seed, GT_prior_use, dtype):
     """Draw the n_init restart states ON DEVICE (jax PRNG).
 
@@ -508,9 +593,9 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
                 # counts — their posterior is the prior after one step
                 # regardless of init), so the host RNG stream matches
                 # an unpadded run of the same seed
-                batched = _host_batched_init(cfg, n_init, GT_prior_use,
-                                             rng, dtype,
-                                             n_cell_draw=n_cell_in)
+                batched = _seeded_batched_init(cfg, n_init,
+                                               GT_prior_use, rng, dtype,
+                                               n_cell_draw=n_cell_in)
             if mesh is not None and isinstance(counts, DenseCounts):
                 # place the (R, C, K) assignment batch cell-sharded next
                 # to the data; the (R, V, K, G) genotype batch follows
