@@ -342,3 +342,55 @@ def test_densify_uneven_vars_on_mesh2d_stays_sharded(small_data):
                                   AD.toarray())
     np.testing.assert_array_equal(np.asarray(got.dp, dtype=np.float64),
                                   DP.toarray())
+
+
+def test_nibble_value_transfer_roundtrip():
+    """The placement transfer's nibble value packing: one byte per
+    AD/DP pair with an exception list for counts > 15 — decode must be
+    exact, and value-heavy inputs must fall back to the int8 pair."""
+    import jax
+    from vireo_tpu.ops.counts import _encode_vals_nibble, _decode_vals
+
+    rng = np.random.RandomState(0)
+    n = 5000
+    dp = rng.randint(0, 12, n)
+    ad = np.minimum(rng.randint(0, 12, n), dp)
+    # sprinkle a heavy tail (~2%) above the nibble cap
+    idx = rng.choice(n, n // 50, replace=False)
+    dp[idx] = rng.randint(16, 128, len(idx))
+    ad[idx] = np.minimum(dp[idx], rng.randint(16, 128, len(idx)))
+
+    vals = _encode_vals_nibble(ad, dp)
+    assert len(vals) == 4                       # packed + exceptions
+    assert vals[0].dtype == jnp.uint8
+    got_ad, got_dp = (np.asarray(x) for x in jax.jit(_decode_vals)(vals))
+    np.testing.assert_array_equal(got_ad, ad)
+    np.testing.assert_array_equal(got_dp, dp)
+
+    # majority-large values: packing would lose to the exception list
+    big_dp = rng.randint(20, 127, n)
+    vals = _encode_vals_nibble(np.minimum(big_dp, 30), big_dp)
+    assert len(vals) == 2 and vals[0].dtype == jnp.int8
+
+    # empty
+    vals = _encode_vals_nibble(np.zeros(0), np.zeros(0))
+    a, d = (np.asarray(x) for x in _decode_vals(vals))
+    assert a.size == 0 and d.size == 0
+
+
+def test_densify_with_nibble_exceptions_exact(small_data):
+    """End-to-end scatter through the nibble transfer with a planted
+    heavy tail: dense int8 result matches the exact matrices."""
+    import scipy.sparse as sp
+    from vireo_tpu.ops.counts import counts_from_scipy, DenseCounts
+
+    AD, DP, _ = small_data
+    A, D = AD.toarray(), DP.toarray()
+    # plant counts above the nibble cap but inside int8
+    D[:3, :5] = 90.0
+    A[:3, :5] = 60.0
+    AD, DP = sp.csc_matrix(A), sp.csc_matrix(D)
+    got = counts_from_scipy(AD, DP, max_dense_elems=0)
+    assert isinstance(got, DenseCounts) and got.ad.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(got.ad, np.float64), A)
+    np.testing.assert_array_equal(np.asarray(got.dp, np.float64), D)

@@ -849,18 +849,21 @@ def _sparse_from_triplets(rows, cols, ad_vals, dp_vals, shape,
 def _triplet_device_args(rows, cols, ad_v, dp_v, val_dtype, n_var=None):
     """Cast host triplets to transfer-efficient dtypes before moving
     them to device (int8 values are 30 MB instead of 240 MB at 30M nnz
-    — the tunnel transfer is a real cost). nnz is padded to the next
-    power of two with zero-value entries at (0, 0) — scatter-add
-    no-ops — so the scatter program's shape (and its persistent
-    compile-cache entry) is reused across datasets instead of
-    recompiling per exact nnz (~2 min per shape through the remote
-    compile service).
+    — the tunnel transfer is a real cost; the AD/DP pair nibble-packs
+    further into ONE byte per entry, see `_encode_vals_nibble`). nnz
+    is padded to the next power of two with zero-value entries at
+    (0, 0) — scatter-add no-ops — so the scatter program's shape (and
+    its persistent compile-cache entry) is reused across datasets
+    instead of recompiling per exact nnz (~2 min per shape through the
+    remote compile service).
 
-    Returns (rows_or_ptr, cols, ad, dp, rows_from_ptr): when the host
+    Returns (rows_or_ptr, cols, vals, rows_from_ptr): when the host
     triplets are row-major sorted (the canonical union order) the
     first element is the (n_var + 1,) ROW POINTER instead of the
     per-entry row ids — 0.1 MB instead of 120 MB at 30M nnz — and the
-    device scatter reconstructs rows by searchsorted. Requires `n_var`.
+    device scatter reconstructs rows by searchsorted. Requires
+    `n_var`. `vals` is a 2-tuple (ad, dp) of device arrays or the
+    4-tuple nibble encoding; `_decode_vals` (device) unpacks either.
     """
     rows = np.asarray(rows, np.int64)
     cols = np.asarray(cols, np.int32)
@@ -887,9 +890,80 @@ def _triplet_device_args(rows, cols, ad_v, dp_v, val_dtype, n_var=None):
     else:
         first = jnp.asarray(rows.astype(np.int32))
         cols_dev = jnp.asarray(cols)
-    return (first, cols_dev,
-            jnp.asarray(ad_v, val_dtype), jnp.asarray(dp_v, val_dtype),
-            use_ptr)
+    if jnp.dtype(val_dtype) == jnp.int8:
+        vals = _encode_vals_nibble(ad_v, dp_v)
+    else:
+        vals = (jnp.asarray(ad_v, val_dtype),
+                jnp.asarray(dp_v, val_dtype))
+    return first, cols_dev, vals, use_ptr
+
+
+def _pad_pow2_idempotent(pos, *value_lists, min_size=1024,
+                         empty_values=None):
+    """Pad exception lists to a power of two with REPEATS of the first
+    entry (idempotent scatter-set), keeping device program shapes
+    cacheable across datasets. An EMPTY list pads with position 0 and
+    `empty_values` — which must be the TRUE values at position 0 so
+    the redundant set is a no-op (zeros would clobber the entry)."""
+    n = len(pos)
+    target = max(min_size, 1 << int(np.ceil(np.log2(max(n, 1)))))
+    if n == 0:
+        pos = np.zeros(target, pos.dtype)
+        value_lists = [np.full(target, e, v.dtype)
+                       for v, e in zip(value_lists, empty_values)]
+    elif target > n:
+        reps = target - n
+        pos = np.concatenate([pos, np.full(reps, pos[0], pos.dtype)])
+        value_lists = [np.concatenate([v, np.full(reps, v[0], v.dtype)])
+                       for v in value_lists]
+    else:
+        value_lists = list(value_lists)
+    return (pos,) + tuple(value_lists)
+
+
+def _encode_vals_nibble(ad, dp):
+    """Pack the AD/DP value pair for transfer: ONE uint8 per entry
+    (ad in the low nibble, dp in the high) plus an int32+int8+int8
+    exception list for entries where either count exceeds 15 — scRNA
+    UMI counts are predominantly single digits, so this halves the
+    dominant 2 x int8 value payload of the placement transfer (~60 ->
+    ~30 MB at 30M nnz over the tunnel). Falls back to the plain int8
+    pair when exceptions would eat the saving. Values must already be
+    <= 127 (the int8 transfer contract; callers clip)."""
+    ad = np.asarray(ad)
+    dp = np.asarray(dp)
+    n = len(ad)
+    if n == 0:
+        return (jnp.asarray(ad, jnp.int8), jnp.asarray(dp, jnp.int8))
+    small = (ad <= 15) & (dp <= 15)
+    n_exc = int((~small).sum())
+    # breakeven: each exception costs 6 B vs the 1 B/entry saved
+    if n_exc >= n // 8:
+        return (jnp.asarray(ad, jnp.int8), jnp.asarray(dp, jnp.int8))
+    packed = np.where(
+        small,
+        (ad.astype(np.int64) | (dp.astype(np.int64) << 4)), 0
+    ).astype(np.uint8)
+    exc_pos = np.flatnonzero(~small).astype(np.int32)
+    exc_ad = ad[~small].astype(np.int8)
+    exc_dp = dp[~small].astype(np.int8)
+    exc_pos, exc_ad, exc_dp = _pad_pow2_idempotent(
+        exc_pos, exc_ad, exc_dp,
+        empty_values=(np.int8(ad[0]), np.int8(dp[0])))
+    return (jnp.asarray(packed), jnp.asarray(exc_pos),
+            jnp.asarray(exc_ad), jnp.asarray(exc_dp))
+
+
+def _decode_vals(vals):
+    """Inverse of the `_triplet_device_args` value encoding (device):
+    plain (ad, dp) pairs pass through; the nibble form unpacks and
+    patches the exception entries."""
+    if len(vals) == 2:
+        return vals
+    packed, exc_pos, exc_ad, exc_dp = vals
+    ad = (packed & np.uint8(15)).astype(jnp.int8).at[exc_pos].set(exc_ad)
+    dp = (packed >> np.uint8(4)).astype(jnp.int8).at[exc_pos].set(exc_dp)
+    return ad, dp
 
 
 def _encode_cols_delta(cols):
@@ -970,13 +1044,16 @@ def _densify_triplets(rows, cols, ad_v, dp_v, shape, dtype,
             transfer = jnp.float32 if dtype in (jnp.bfloat16,
                                                 jnp.float32) \
                 else jnp.float64
-        rows, cols, ad_v, dp_v, use_ptr = _triplet_device_args(
+        rows, cols, vals, use_ptr = _triplet_device_args(
             rows, cols, ad_v, dp_v,
             jnp.int8 if dtype == jnp.int8 else transfer,
             n_var=shape[0])
+    else:
+        vals = (ad_v, dp_v)
     block = _scatter_block()
 
-    def scatter(ad_v, dp_v, rows, cols):
+    def scatter(vals, rows, cols):
+        ad_v, dp_v = _decode_vals(vals)
         if dtype == jnp.int8 and ad_v.dtype != jnp.int8:
             ad_v = jnp.clip(ad_v, 0, 127)
             dp_v = jnp.clip(dp_v, 0, 127)
@@ -1027,7 +1104,7 @@ def _densify_triplets(rows, cols, ad_v, dp_v, shape, dtype,
         scatter = jax.jit(scatter, out_shardings=(sharding, sharding))
     else:
         scatter = jax.jit(scatter)
-    ad, dp = scatter(ad_v, dp_v, rows, cols)
+    ad, dp = scatter(vals, rows, cols)
     return DenseCounts(ad, dp)
 
 
@@ -1043,8 +1120,11 @@ def _pack_triplets(rows, cols, ad_v, dp_v, shape, clip=False):
         if clip:
             ad_v = np.minimum(np.asarray(ad_v), PACK_MAX)
             dp_v = np.minimum(np.asarray(dp_v), PACK_MAX)
-        rows, cols, ad_v, dp_v, use_ptr = _triplet_device_args(
+        rows, cols, vals, use_ptr = _triplet_device_args(
             rows, cols, ad_v, dp_v, jnp.int8, n_var=V)
+        # clipped values all fit a nibble: the transfer is always the
+        # packed single-byte form with an empty exception list
+        ad_v, dp_v = jax.jit(_decode_vals)(vals)
         clip = False
     block = _scatter_block()
 

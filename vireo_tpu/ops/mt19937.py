@@ -150,12 +150,14 @@ def _device_stream_jit(states, p0, c_blocks, n_total, dtype_name):
     dtype = jnp.dtype(dtype_name)
     w = _words(states, p0, c_blocks)          # (D, 624c)
     D = w.shape[0]
-    pairs = w.reshape(D * 312 * c_blocks, 2)
-    a = (pairs[:, 0] >> 5).astype(dtype)
-    b = (pairs[:, 1] >> 6).astype(dtype)
+    # even/odd column slices, NOT a (N, 2) reshape: TPU tiles the
+    # trailing dims to (8, 128) lanes, so an (N, 2) u32 tensor pads
+    # 64x (~31 GB of HLO temp at 61M doubles — measured OOM)
+    a = (w[:, 0::2] >> 5).astype(dtype)       # (D, 312c)
+    b = (w[:, 1::2] >> 6).astype(dtype)
     vals = (a * dtype.type(67108864.0) + b) \
         / dtype.type(9007199254740992.0)
-    return vals[:n_total]
+    return vals.reshape(D * 312 * c_blocks)[:n_total]
 
 
 def np_pairwise_sum_last(x):
