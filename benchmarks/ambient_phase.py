@@ -63,8 +63,15 @@ def main():
                  beta_mu_init=np.asarray(jax.device_get(state.beta_mu)),
                  beta_sum_init=np.asarray(jax.device_get(state.beta_sum)))
 
+    # AMB_GAIN: override the reference-parity SNP gate sqrt(n_cell)/3
+    # (vireo_doublet.py:230-240; exposed as --ambientMinGain on the
+    # CLI) — the phase cost is ~proportional to the selected SNPs, so
+    # this measures the time/coverage trade of stricter gates.
+    gain = os.environ.get("AMB_GAIN")
+    gain = float(gain) if gain else None
     t0 = time.time()
     Psi, Psi_var, Psi_llr = predit_ambient(vobj, counts, None,
+                                           min_ELBO_gain=gain,
                                            rng=np.random.RandomState(2))
     t_amb = time.time() - t0
 
@@ -75,6 +82,7 @@ def main():
         "unit": "s",
         "gen_s": round(t_gen, 2),
         "warm_fit_s": round(t_fit, 2),
+        "min_ELBO_gain": gain if gain is not None else "default",
         "psi_shape": list(np.shape(Psi)),
         "mean_max_psi": float(np.mean(np.max(Psi, axis=1))),
         "finite": bool(np.isfinite(Psi).all()
