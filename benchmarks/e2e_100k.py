@@ -86,19 +86,27 @@ def main():
     doublet_recall = float(np.mean(called_doublet[is_doublet_true]))
     doublet_fpr = float(np.mean(called_doublet[singlets]))
 
-    print(json.dumps({
+    payload = {
         "metric": "e2e_wrap_100k",
         "value": round(t_fit, 2),
         "unit": "s",
         "workload": "%dx%dx%d, n_init=%d, doublets=%.0f%%" % (
             n_var, n_cell, n_donor, n_init, 100 * doublet_rate),
+        "seeded": seed is not None,
+        "device_mt": os.environ.get("VIREO_DEVICE_MT", "auto"),
         "gen_s": round(t_gen, 2),
         "singlet_accuracy": round(singlet_acc, 5),
         "singlet_assigned_frac": round(assigned_frac, 4),
         "doublet_recall": round(doublet_recall, 4),
         "doublet_fpr": round(doublet_fpr, 4),
         "elbo": float(res["LB_doublet"]),
-    }))
+    }
+    print(json.dumps(payload))
+    # artifact of record (claims in RESULTS.md must trace to a file)
+    out = os.environ.get("E2E_OUT")
+    if out:
+        with open(out, "w") as f:
+            json.dump(payload, f, indent=1)
 
 
 if __name__ == "__main__":
