@@ -202,3 +202,85 @@ def test_native_tsv_writer_rejects_overwide_format(tmp_path):
                                ["cell", "a", "b"], ["c0", "c1"],
                                mat, "%200.100f")
     assert ok is False
+
+
+def _heavy_pair(seed=0, n_var=300, n_cell=200):
+    """Sparse AD/DP with mismatched patterns, a >15 tail and >127 spikes
+    clipped by the int8 transfer."""
+    import scipy.sparse as sp
+    rng = np.random.RandomState(seed)
+    DP = (rng.rand(n_var, n_cell) < 0.2) * rng.randint(
+        1, 14, size=(n_var, n_cell))
+    AD = (DP * rng.rand(n_var, n_cell)).astype(np.int64)
+    # AD-only and DP-only entries (pattern union differs from both)
+    AD[0, 0], DP[0, 0] = 3, 0
+    DP[1, 5], AD[1, 5] = 7, 0
+    idx = rng.choice(n_var * n_cell, 60, replace=False)
+    DP.flat[idx] = rng.randint(16, 120, 60)
+    DP.flat[idx[:5]] = 126
+    return (sp.csc_matrix(AD.astype(float)), sp.csc_matrix(DP.astype(float)))
+
+
+def test_native_encoder_bitmatches_numpy_device_args(native):
+    """The fused C++ placement encoder (union -> row ptr -> delta cols
+    -> nibble vals) produces BIT-IDENTICAL device args to the numpy
+    _triplet_device_args chain, and the scattered DenseCounts match."""
+    import jax
+    from vireo_tpu.ops import counts as CT
+
+    AD, DP = _heavy_pair()
+    rows, cols, ad_v, dp_v = CT._host_union_triplets(AD, DP)
+    np_first, np_cols, np_vals, np_ptr = CT._triplet_device_args(
+        rows, cols, np.minimum(ad_v, 127), np.minimum(dp_v, 127),
+        CT.jnp.int8, n_var=AD.shape[0])
+    assert np_ptr
+
+    probe = CT._native_encode_probe(AD, DP)
+    assert probe is not None
+    assert probe["nnz"] == len(rows)
+    assert probe["vmax"] == float(max(ad_v.max(), dp_v.max()))
+    nat = CT._native_device_args(probe)
+    assert nat is not None
+    nat_first, nat_cols, nat_vals, nat_ptr = nat
+    assert nat_ptr
+
+    np.testing.assert_array_equal(np.asarray(np_first),
+                                  np.asarray(nat_first))
+    for a, b in zip(jax.tree.leaves(np_cols), jax.tree.leaves(nat_cols)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(np_vals), jax.tree.leaves(nat_vals)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # end to end through the ladder: exact dense counts
+    got = CT.counts_from_scipy(AD, DP, max_dense_elems=0)
+    assert got.ad.dtype == CT.jnp.int8
+    np.testing.assert_array_equal(np.asarray(got.ad, np.float64),
+                                  np.minimum(AD.toarray(), 127))
+    np.testing.assert_array_equal(np.asarray(got.dp, np.float64),
+                                  np.minimum(DP.toarray(), 127))
+
+
+def test_native_encoder_fallback_paths(native, monkeypatch):
+    """Ladder equality with the encoder disabled, and the high-
+    exception fallback to the numpy path."""
+    import scipy.sparse as sp
+    from vireo_tpu.ops import counts as CT
+
+    AD, DP = _heavy_pair(seed=3)
+    want = CT.counts_from_scipy(AD, DP, max_dense_elems=0)
+    monkeypatch.setattr(CT, "_native_encode_probe", lambda *a: None)
+    got = CT.counts_from_scipy(AD, DP, max_dense_elems=0)
+    np.testing.assert_array_equal(np.asarray(want.ad), np.asarray(got.ad))
+    np.testing.assert_array_equal(np.asarray(want.dp), np.asarray(got.dp))
+    monkeypatch.undo()
+
+    # value-exception-heavy input: _native_device_args declines and
+    # the numpy int8-pair path takes over; results still exact
+    rng = np.random.RandomState(1)
+    DP2 = sp.csc_matrix((rng.rand(40, 30) < 0.5) * 90.0)
+    AD2 = sp.csc_matrix((DP2.toarray() * 0.5).astype(np.int64).astype(float))
+    probe = CT._native_encode_probe(AD2, DP2)
+    assert probe is not None and CT._native_device_args(probe) is None
+    got = CT.counts_from_scipy(AD2, DP2, max_dense_elems=0)
+    np.testing.assert_array_equal(np.asarray(got.dp, np.float64),
+                                  DP2.toarray())

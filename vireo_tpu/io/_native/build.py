@@ -87,6 +87,19 @@ def _build():
     lib.union_csr.restype = ctypes.c_int64
     lib.union_csr.argtypes = [ctypes.c_int64, i64p, i32p, f64p,
                               i64p, i32p, f64p, i32p, i32p, f64p, f64p]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    lib.encode_counts_stats.restype = ctypes.c_int64
+    lib.encode_counts_stats.argtypes = [ctypes.c_int64, i64p, i32p, f64p,
+                                        i64p, i32p, f64p, i64p]
+    lib.encode_counts_fill.restype = ctypes.c_int64
+    lib.encode_counts_fill.argtypes = [ctypes.c_int64, ctypes.c_int64,
+                                       i64p, i32p, f64p, i64p, i32p, f64p,
+                                       ctypes.c_int64, ctypes.c_int64,
+                                       i32p, i32p, u8p, i32p, i8p, i8p]
+    lib.delta_encode_cols.restype = ctypes.c_int64
+    lib.delta_encode_cols.argtypes = [i32p, ctypes.c_int64, u8p, i32p,
+                                      i32p, ctypes.c_int64]
     return lib
 
 

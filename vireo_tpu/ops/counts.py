@@ -966,6 +966,143 @@ def _decode_vals(vals):
     return ad, dp
 
 
+def _native_encode_probe(AD, DP):
+    """First pass of the fused native placement encoder: canonical CSC
+    views plus union stats (nnz, n_val_exc, vmax) — the ladder keys
+    its rung decision on vmax without any numpy union pass. None when
+    the native library or scipy-sparse inputs are unavailable."""
+    import ctypes
+    import scipy.sparse as sp
+    from ..io._native import lib as native_lib
+    nat = native_lib()
+    if nat is None or not (sp.issparse(AD) and sp.issparse(DP)):
+        return None
+    A = AD.tocsc()
+    D = DP.tocsc()
+    if A.shape != D.shape:
+        return None
+    for M in (A, D):
+        if not M.has_canonical_format:
+            M.sum_duplicates()
+        M.sort_indices()
+    args = {}
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    for tag, M in (("a", A), ("d", D)):
+        args[tag + "_indptr"] = np.ascontiguousarray(M.indptr, np.int64)
+        args[tag + "_indices"] = np.ascontiguousarray(M.indices, np.int32)
+        args[tag + "_data"] = np.ascontiguousarray(M.data, np.float64)
+    stats = np.zeros(3, np.int64)
+    rc = nat.encode_counts_stats(
+        int(A.shape[1]),
+        args["a_indptr"].ctypes.data_as(i64p),
+        args["a_indices"].ctypes.data_as(i32p),
+        args["a_data"].ctypes.data_as(f64p),
+        args["d_indptr"].ctypes.data_as(i64p),
+        args["d_indices"].ctypes.data_as(i32p),
+        args["d_data"].ctypes.data_as(f64p),
+        stats.ctypes.data_as(i64p))
+    if rc < 0 or rc != stats[0] or stats[0] == 0:
+        return None
+    args["shape"] = tuple(int(s) for s in A.shape)
+    args["nnz"] = int(stats[0])
+    args["n_val_exc"] = int(stats[1])
+    args["vmax"] = float(stats[2])
+    args["nat"] = nat
+    return args
+
+
+def _native_device_args(probe):
+    """Second/third passes of the fused native encoder: device args
+    (row_ptr, delta-encoded cols, nibble-packed vals) bit-matching
+    `_triplet_device_args`' int8 encoding. None when the encoding
+    would fall back (value exceptions >= 1/8 of entries) — the caller
+    takes the numpy path instead."""
+    import ctypes
+    nat = probe["nat"]
+    n_var, n_cell = probe["shape"]
+    nnz = probe["nnz"]
+    n_val_exc = probe["n_val_exc"]
+    if n_val_exc >= nnz // 8:      # mirror _encode_vals_nibble
+        return None
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+
+    def p(x, t):
+        return x.ctypes.data_as(t)
+
+    # pad straight to the power-of-two transfer size (zeros = no-op
+    # scatter entries at (n_var, 0), exactly the numpy padding)
+    target = max(4096, 1 << int(np.ceil(np.log2(nnz))))
+    row_ptr = np.empty(n_var + 1, np.int32)
+    cols = np.zeros(target, np.int32)
+    vals = np.zeros(target, np.uint8)
+    vexc_pos = np.empty(max(n_val_exc, 1), np.int32)
+    vexc_ad = np.empty(max(n_val_exc, 1), np.int8)
+    vexc_dp = np.empty(max(n_val_exc, 1), np.int8)
+    got = nat.encode_counts_fill(
+        n_var, n_cell,
+        p(probe["a_indptr"], i64p), p(probe["a_indices"], i32p),
+        p(probe["a_data"], f64p),
+        p(probe["d_indptr"], i64p), p(probe["d_indices"], i32p),
+        p(probe["d_data"], f64p),
+        nnz, n_val_exc,
+        p(row_ptr, i32p), p(cols, i32p), p(vals, u8p),
+        p(vexc_pos, i32p), p(vexc_ad, i8p), p(vexc_dp, i8p))
+    if got != nnz:
+        return None
+
+    if n_val_exc:
+        empty_vals = None
+    else:
+        empty_vals = (np.int8(vals[0] & 15), np.int8(vals[0] >> 4))
+        vexc_pos, vexc_ad, vexc_dp = (np.zeros(0, np.int32),
+                                      np.zeros(0, np.int8),
+                                      np.zeros(0, np.int8))
+    vexc_pos, vexc_ad, vexc_dp = _pad_pow2_idempotent(
+        vexc_pos[:n_val_exc] if n_val_exc else vexc_pos,
+        vexc_ad[:n_val_exc] if n_val_exc else vexc_ad,
+        vexc_dp[:n_val_exc] if n_val_exc else vexc_dp,
+        empty_values=empty_vals)
+
+    # column deltas over the PADDED array (the trailing zero columns
+    # produce one negative-delta exception at position nnz, exactly as
+    # the numpy encoder sees after np.pad)
+    n_cexc = int(nat.delta_encode_cols(p(cols, i32p), target, None,
+                                       None, None, 0))
+    if n_cexc >= 0.25 * target:     # mirror _encode_cols_delta
+        cols_dev = jnp.asarray(cols)
+    else:
+        deltas = np.empty(target, np.uint8)
+        cexc_pos = np.empty(max(n_cexc, 1), np.int32)
+        cexc_val = np.empty(max(n_cexc, 1), np.int32)
+        got = nat.delta_encode_cols(p(cols, i32p), target,
+                                    p(deltas, u8p), p(cexc_pos, i32p),
+                                    p(cexc_val, i32p), max(n_cexc, 1))
+        if got != n_cexc:
+            return None
+        if n_cexc:
+            empty_d = None
+        else:
+            empty_d = (np.int32(deltas[0]),)
+            cexc_pos, cexc_val = (np.zeros(0, np.int32),
+                                  np.zeros(0, np.int32))
+        cexc_pos, cexc_val = _pad_pow2_idempotent(
+            cexc_pos[:n_cexc] if n_cexc else cexc_pos,
+            cexc_val[:n_cexc] if n_cexc else cexc_val,
+            empty_values=empty_d)
+        cols_dev = (jnp.asarray(deltas), jnp.asarray(cexc_pos),
+                    jnp.asarray(cexc_val))
+
+    vals_dev = (jnp.asarray(vals), jnp.asarray(vexc_pos),
+                jnp.asarray(vexc_ad), jnp.asarray(vexc_dp))
+    return jnp.asarray(row_ptr), cols_dev, vals_dev, True
+
+
 def _encode_cols_delta(cols):
     """Delta-encode sorted-run column ids for transfer: uint8 forward
     deltas plus an int32 exception list for row-boundary jumps and
@@ -1050,6 +1187,14 @@ def _densify_triplets(rows, cols, ad_v, dp_v, shape, dtype,
             n_var=shape[0])
     else:
         vals = (ad_v, dp_v)
+    return _scatter_dense(rows, cols, vals, use_ptr, shape, dtype,
+                          sharding=sharding)
+
+
+def _scatter_dense(rows, cols, vals, use_ptr, shape, dtype,
+                   sharding=None):
+    """Run the chunked dense scatter over pre-built device args (see
+    `_triplet_device_args` for the encodings of `cols` and `vals`)."""
     block = _scatter_block()
 
     def scatter(vals, rows, cols):
@@ -1290,13 +1435,21 @@ def counts_from_scipy(AD, DP, dtype=jnp.float32, max_dense_elems=64_000_000,
                             jax.device_put(c.dp, sharding))
         return c
 
-    # ONE host alignment pass; each rung below builds only the device
-    # layout it needs from these triplets (the dual-sorted COO with
-    # segment pointers — ~1 GB of device arrays and two 30M lexsorts —
-    # is only constructed when the pure-COO fallback is actually taken)
-    rows, cols, ad_v, dp_v = _host_union_triplets(AD, DP)
-    vmax = float(max(ad_v.max() if len(ad_v) else 0.0,
-                     dp_v.max() if len(dp_v) else 0.0))
+    # ONE host alignment pass. The fused native encoder covers the
+    # production path end to end (union stats -> rung decision ->
+    # transfer encoding) in three flat C passes; otherwise a numpy
+    # union materializes triplets and each rung builds its own layout
+    # (the dual-sorted COO with segment pointers — ~1 GB of device
+    # arrays and two 30M lexsorts — is only constructed when the
+    # pure-COO fallback is actually taken).
+    probe = _native_encode_probe(AD, DP)
+    rows = cols = ad_v = dp_v = None
+    if probe is not None:
+        vmax = probe["vmax"]
+    else:
+        rows, cols, ad_v, dp_v = _host_union_triplets(AD, DP)
+        vmax = float(max(ad_v.max() if len(ad_v) else 0.0,
+                         dp_v.max() if len(dp_v) else 0.0))
     shape = tuple(int(s) for s in AD.shape)
     dense_dtype = exact_count_dtype(vmax)
     if dense_budget is not None:
@@ -1318,8 +1471,19 @@ def counts_from_scipy(AD, DP, dtype=jnp.float32, max_dense_elems=64_000_000,
                   "as %s (%.1f GiB)" % (AD.shape[0], AD.shape[1], vmax,
                                         jnp.dtype(dense_dtype).name,
                                         need / 2**30))
+        if probe is not None and dense_dtype == jnp.int8:
+            args = _native_device_args(probe)
+            if args is not None:
+                first, cols_dev, vals_dev, use_ptr = args
+                return _scatter_dense(first, cols_dev, vals_dev,
+                                      use_ptr, shape, jnp.int8,
+                                      sharding=sharding)
+        if rows is None:
+            rows, cols, ad_v, dp_v = _host_union_triplets(AD, DP)
         return _densify_triplets(rows, cols, ad_v, dp_v, shape,
                                  dense_dtype, sharding=sharding)
+    if rows is None:   # non-int8-dense rungs build from numpy triplets
+        rows, cols, ad_v, dp_v = _host_union_triplets(AD, DP)
     no_hybrid = os.environ.get("VIREO_NO_HYBRID", "0") == "1"
     # hybrid rung: int8 base clipped at 127 + COO residual of the rare
     # overflow deltas — dense-rung speed at ANY count magnitude. This
