@@ -161,6 +161,32 @@ def write_donor_id(out_dir, donor_names, cell_names, n_vars, res_vireo):
         fh.write("logLik: %.3e\n" % (res_vireo['LB_doublet']))
         fh.write("thetas: \n%s\n" % (res_vireo['theta_shapes']))
 
+    # big probability tables: native writer when available — byte-
+    # identical %.2e formatting, gzip fused into the same pass (the
+    # Python per-value loop + external gzip cost ~17 s at 100k cells).
+    # The two writers run in THREADS, concurrent with each other and
+    # with the donor_ids/summary python loops below: the ctypes call
+    # releases the GIL, and at 100k cells the (C, C(K,2)) doublet
+    # table alone is ~100 MB of format+gzip work.
+    import threading
+    from .fast import write_matrix_tsv_fast
+    results = {}
+
+    def _native_write(key, path, columns, mat):
+        results[key] = write_matrix_tsv_fast(path, columns, cell_names,
+                                             mat, "%.2e", gzip_level=4)
+
+    threads = [
+        threading.Thread(target=_native_write, args=(
+            "singlet", out_dir + "/prob_singlet.tsv.gz",
+            ["cell"] + list(donor_names), singlet_p)),
+        threading.Thread(target=_native_write, args=(
+            "doublet", out_dir + "/prob_doublet.tsv.gz",
+            ["cell"] + pair_names, pair_p)),
+    ]
+    for t in threads:
+        t.start()
+
     call_levels, call_freq = np.unique(hard_call, return_counts=True)
     _write_tsv(out_dir + "/summary.tsv", ["Var1", "Freq"],
                (["%s" % lv, "%d" % n]
@@ -179,17 +205,9 @@ def write_donor_id(out_dir, donor_names, cell_names, n_vars, res_vireo):
           best_pair[i], "%.3f" % llr[i]]
          for i in range(len(cell_names))))
 
-    # big probability tables: native writer when available — byte-
-    # identical %.2e formatting, gzip fused into the same pass (the
-    # Python per-value loop + external gzip cost ~17 s at 100k cells)
-    from .fast import write_matrix_tsv_fast
-    native_gz = write_matrix_tsv_fast(
-        out_dir + "/prob_singlet.tsv.gz", ["cell"] + list(donor_names),
-        cell_names, singlet_p, "%.2e", gzip_level=4)
-    if native_gz:
-        native_gz = write_matrix_tsv_fast(
-            out_dir + "/prob_doublet.tsv.gz", ["cell"] + pair_names,
-            cell_names, pair_p, "%.2e", gzip_level=4)
+    for t in threads:
+        t.join()
+    native_gz = results.get("singlet") and results.get("doublet")
     if not native_gz:
         _write_tsv(out_dir + "/prob_singlet.tsv",
                    ["cell"] + list(donor_names),
