@@ -284,3 +284,48 @@ def test_native_encoder_fallback_paths(native, monkeypatch):
     got = CT.counts_from_scipy(AD2, DP2, max_dense_elems=0)
     np.testing.assert_array_equal(np.asarray(got.dp, np.float64),
                                   DP2.toarray())
+
+
+def test_mtx_pattern_field_falls_back_to_scipy(tmp_path):
+    """'pattern' (2-column entries) and 'complex' fields must not hit
+    the numeric fast paths (np.loadtxt would crash on body[:, 2]);
+    read_mtx routes them to scipy.io.mmread."""
+    import scipy.io
+    import scipy.sparse as sp
+    from vireo_tpu.io.fast import read_mtx_fast, native_available
+    from vireo_tpu.io.matrices import read_mtx
+
+    pat = tmp_path / "pat.mtx"
+    with open(pat, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate pattern general\n")
+        f.write("3 4 3\n")
+        f.write("1 2\n2 1\n3 4\n")
+    if native_available():
+        assert read_mtx_fast(str(pat)) is None
+    got = read_mtx(str(pat))
+    want = sp.csc_matrix(scipy.io.mmread(str(pat)))
+    assert got.shape == want.shape
+    assert (got != want).nnz == 0
+
+
+def test_native_probe_does_not_mutate_caller_matrices():
+    """A non-canonical CSC input (duplicate entries) must not be
+    restructured in place by the placement encoder."""
+    import scipy.sparse as sp
+    from vireo_tpu.ops import counts as CT
+
+    # direct (data, indices, indptr) build keeps the duplicate row
+    # index in column 0 (the coo-style constructor would sum it)
+    AD = sp.csc_matrix((np.array([1.0, 2.0, 3.0]),
+                        np.array([0, 0, 1]),
+                        np.array([0, 2, 3, 3])), shape=(3, 3))
+    DP = sp.csc_matrix(np.array([[4.0, 0, 0], [0, 5.0, 0], [0, 0, 0]]))
+    assert not AD.has_canonical_format
+    nnz_before = AD.nnz
+    data_before = AD.data.copy()
+    probe = CT._native_encode_probe(AD, DP)
+    assert AD.nnz == nnz_before
+    np.testing.assert_array_equal(AD.data, data_before)
+    if probe is not None:      # encoder sees the summed canonical view
+        assert probe["vmax"] == 5.0
+        assert probe["nnz"] == 2   # union pattern {(0,0), (1,1)}

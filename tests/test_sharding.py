@@ -526,3 +526,20 @@ def test_auto_mesh_elects_2d_when_var_state_busts_budget(small_data,
     monkeypatch.setenv("VIREO_DENSE_BUDGET_GB", "16")
     m = _resolve_mesh("auto", 128, count_bytes=1e6, var_state_bytes=1e6)
     assert m is not None and VAR_AXIS not in m.axis_names
+
+
+def test_auto_mesh_hints_use_prior_donor_width(small_data):
+    """A GT prior wider than n_donor widens the actual fit
+    (vireo_wrap.py:111-119), so the 2-D-mesh election must size the
+    variant state with the prior's donor count, not the requested one
+    (round-5 review finding)."""
+    from vireo_tpu.engine.wrap import _auto_mesh_hints
+    AD, DP, _ = small_data
+    gp = np.random.RandomState(0).rand(AD.shape[0], 16, 3)
+    _, vs_prior = _auto_mesh_hints(AD, DP, 8, gp, 0, 10, 3, jnp.float32)
+    _, vs_plain16 = _auto_mesh_hints(AD, DP, 16, None, 0, 10, 3,
+                                     jnp.float32)
+    _, vs_plain8 = _auto_mesh_hints(AD, DP, 8, None, 0, 10, 3,
+                                    jnp.float32)
+    assert vs_prior == vs_plain16
+    assert vs_prior == 2 * vs_plain8

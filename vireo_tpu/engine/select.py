@@ -6,7 +6,6 @@ compare the ELBO distributions. Here the whole sweep is a first-class
 API; each K's restarts run as one vmapped device call.
 """
 
-import os
 
 import numpy as np
 import jax
@@ -35,7 +34,8 @@ def sweep_n_donor(AD, DP=None, n_donor_list=(2, 3, 4, 5, 6, 7, 8),
     (no init upload at all) — the per-restart host-init/stack pattern
     this replaces paid that upload once per restart per K.
     """
-    from .wrap import _seeded_batched_init, _device_batched_init
+    from .wrap import (_seeded_batched_init, _device_batched_init,
+                       _device_init_policy)
 
     if hasattr(AD, "suff_stats"):       # already a device counts object
         counts = AD
@@ -45,15 +45,9 @@ def sweep_n_donor(AD, DP=None, n_donor_list=(2, 3, 4, 5, 6, 7, 8),
         np.random.seed(random_seed)
     rng = np.random
 
-    # mirror vireo_wrap's init placement policy (engine/wrap.py):
-    # host np.random draws exist only for seeded-stream parity
-    _knob = os.environ.get("VIREO_DEVICE_INIT", "").lower()
-    if _knob in ("1", "on", "yes"):
-        device_init = True
-    elif _knob in ("0", "off", "no"):
-        device_init = False
-    else:
-        device_init = random_seed is None
+    # the wrap's init placement policy: host np.random draws exist
+    # only for seeded-stream parity
+    device_init = _device_init_policy(random_seed)
 
     binom = float(jax.device_get(counts.binom_coeff_sum()))
     out = {}

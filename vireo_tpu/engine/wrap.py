@@ -111,9 +111,16 @@ def _auto_mesh_hints(AD, DP, n_donor, GT_prior, n_extra_donor, n_init,
                 vmax = max(vmax, float(data.max()))
         count_bytes = 2.0 * n_var * n_cell * _jnp.dtype(
             exact_count_dtype(vmax)).itemsize
+        # mirror the wrap's donor-count resolution: a prior with MORE
+        # donors than requested widens the fit to the prior's width
+        # (vireo_wrap.py:111-119) — sizing with the smaller K would
+        # under-estimate the warm genotype batch and skip the capacity
+        # mesh exactly when it is needed
         K = int(n_donor) if n_donor is not None else (
             int(GT_prior.shape[1]) if GT_prior is not None else 8)
         K += int(n_extra_donor or 0)
+        if GT_prior is not None:
+            K = max(K, int(GT_prior.shape[1]))
         var_state_bytes = ((int(n_init) + 2) * n_var * K * n_GT
                            * _jnp.dtype(dtype).itemsize)
         return count_bytes, var_state_bytes
@@ -316,6 +323,19 @@ def _mt_batched_init(cfg, n_init, GT_prior_use, rng, dtype,
     return VireoState(beta_mu=jnp.asarray(beta_mu),
                       beta_sum=jnp.asarray(beta_sum),
                       gt_prob=gtn, id_prob=idn)
+
+
+def _device_init_policy(random_seed):
+    """Shared VIREO_DEVICE_INIT resolution (wrap + K-sweep): True =
+    draw warm inits on device (unseeded default), False = host
+    np.random stream (seeded default, reference parity)."""
+    import os
+    knob = os.environ.get("VIREO_DEVICE_INIT", "").lower()
+    if knob in ("1", "on", "yes"):
+        return True
+    if knob in ("0", "off", "no"):
+        return False
+    return random_seed is None
 
 
 def _seeded_batched_init(cfg, n_init, GT_prior_use, rng, dtype,
@@ -530,13 +550,7 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
     # contract, so they default to on-device jax PRNG inits — skipping
     # a ~250 MB host->device upload at the 100k-cell scale.
     # VIREO_DEVICE_INIT=1/0 forces either path.
-    _knob = os.environ.get("VIREO_DEVICE_INIT", "").lower()
-    if _knob in ("1", "on", "yes"):
-        device_init = True
-    elif _knob in ("0", "off", "no"):
-        device_init = False
-    else:
-        device_init = random_seed is None
+    device_init = _device_init_policy(random_seed)
 
     # run fingerprint: refuse to resume from a checkpoint directory
     # written with different data/arguments (advisor round-2 finding —

@@ -398,15 +398,19 @@ void cellvcf_free(CellVcfView* view) {
 }
 
 // True when the MatrixMarket banner declares the one layout these
-// readers implement: "coordinate" entries with "general" symmetry.
-// Anything else ("array" would mis-parse its 2-field size line as
-// nnz=0; "symmetric" stores only one triangle) must return -1 so the
-// caller falls back to scipy.io.mmread, which handles every variant.
+// readers implement: "coordinate" entries of a numeric "real" /
+// "integer" field with "general" symmetry.  Anything else ("array"
+// would mis-parse its 2-field size line as nnz=0; "symmetric" stores
+// only one triangle; "pattern" has 2-field entry lines; "complex" has
+// 4) must return -1 so the caller falls back to scipy.io.mmread,
+// which handles every variant.
 static bool mm_banner_supported(const char* line, size_t len) {
   std::string banner(line, len);
   for (char& c : banner) c = static_cast<char>(tolower(c));
   return banner.find("coordinate") != std::string::npos &&
-         banner.find("general") != std::string::npos;
+         banner.find("general") != std::string::npos &&
+         (banner.find("real") != std::string::npos ||
+          banner.find("integer") != std::string::npos);
 }
 
 // Fast MatrixMarket coordinate reader: fills row/col/val arrays.

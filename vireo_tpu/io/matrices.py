@@ -36,11 +36,13 @@ def read_mtx(path):
         header = f.readline()
         if not header.startswith("%%MatrixMarket"):
             raise ValueError("not a MatrixMarket file: %s" % path)
-        if "coordinate" not in header.lower() \
-                or "general" not in header.lower():
-            # 'array' format or non-general symmetry: only scipy's
-            # full reader handles these (the native parser refuses
-            # them too, so both fast paths land here)
+        hdr = header.lower()
+        if "coordinate" not in hdr or "general" not in hdr \
+                or not ("real" in hdr or "integer" in hdr):
+            # 'array' format, non-general symmetry, or a non-numeric
+            # field ('pattern' has 2-column entries, 'complex' 4):
+            # only scipy's full reader handles these (the native
+            # parser refuses them too, so both fast paths land here)
             import scipy.io as sio
             return sp.csc_matrix(sio.mmread(path))
         line = f.readline()

@@ -981,10 +981,16 @@ def _native_encode_probe(AD, DP):
     D = DP.tocsc()
     if A.shape != D.shape:
         return None
+    mats = []
     for M in (A, D):
         if not M.has_canonical_format:
+            # tocsc() returns the SAME object for CSC inputs:
+            # canonicalize a copy, never the caller's matrix
+            M = M.copy()
             M.sum_duplicates()
-        M.sort_indices()
+            M.sort_indices()
+        mats.append(M)
+    A, D = mats
     args = {}
     i32p = ctypes.POINTER(ctypes.c_int32)
     i64p = ctypes.POINTER(ctypes.c_int64)
