@@ -108,3 +108,20 @@ def test_float32_stream_is_deterministic_and_close():
     f32 = np.asarray(device_stream(plan2, dtype=jnp.float32))
     assert f32.dtype == np.float32
     np.testing.assert_allclose(f32, f64, rtol=2e-7, atol=2e-7)
+
+
+def test_plan_stream_with_randomstate_object():
+    """plan_stream works against a RandomState instance (not just the
+    global np.random module) with the same bit parity and final
+    position."""
+    rng = np.random.RandomState(42)
+    rng.rand(7)                      # arbitrary pre-consumption
+    ref = np.random.RandomState(42)
+    ref.rand(7)
+    want = ref.rand(5000)
+
+    plan = plan_stream(5000, rng=rng, max_lanes=5)
+    got = np.asarray(device_stream(plan))
+    np.testing.assert_array_equal(got, want)
+    # both generators continue identically
+    np.testing.assert_array_equal(rng.rand(10), ref.rand(10))
