@@ -277,34 +277,49 @@ def main(argv=None):
         timing=options.timing or None,
         mesh=_resolve_cli_mesh(options.mesh))
 
+    import contextlib
+    from ..utils.timing import PhaseTimer
+    tail_timer = PhaseTimer() if options.timing else None
+
+    def phase(name):
+        return tail_timer.phase(name) if tail_timer \
+            else contextlib.nullcontext()
+
     if (n_donor is not None and donor_GPb is not None
             and n_donor < donor_GPb.shape[1]):
         idx = optimal_match(res_vireo['GT_prob'], donor_GPb)[1]
         donor_names = [donor_vcf['samples'][x] for x in idx]
 
-    write_donor_id(out_dir, donor_names, cell_dat['samples'], n_vars,
-                   res_vireo)
+    with phase("result_writers"):
+        write_donor_id(out_dir, donor_names, cell_dat['samples'], n_vars,
+                       res_vireo)
 
     if options.no_plot is False and options.vartrix_data is None:
-        dp_sum = np.array(cell_dat['DP'].sum(axis=1)).reshape(-1) \
-            if sp.issparse(cell_dat['DP']) \
-            else cell_dat['DP'].sum(axis=1)
-        idx = dp_sum > (3 * n_donor)
-        if learn_GT and donor_GPb is not None:
-            plot_GT(out_dir, res_vireo['GT_prob'][idx, :, :], donor_names,
-                    donor_GPb[idx, :, :], donor_vcf['samples'])
-        else:
-            plot_GT(out_dir, res_vireo['GT_prob'][idx, :, :], donor_names)
+        with phase("plots"):
+            dp_sum = np.array(cell_dat['DP'].sum(axis=1)).reshape(-1) \
+                if sp.issparse(cell_dat['DP']) \
+                else cell_dat['DP'].sum(axis=1)
+            idx = dp_sum > (3 * n_donor)
+            if learn_GT and donor_GPb is not None:
+                plot_GT(out_dir, res_vireo['GT_prob'][idx, :, :],
+                        donor_names, donor_GPb[idx, :, :],
+                        donor_vcf['samples'])
+            else:
+                plot_GT(out_dir, res_vireo['GT_prob'][idx, :, :],
+                        donor_names)
 
     # inferred donor genotype (vireo.py:236-242)
     if learn_GT and 'variants' in cell_dat.keys():
-        donor_vcf_out = cell_dat
-        donor_vcf_out['samples'] = donor_names
-        donor_vcf_out['GenoINFO'] = GenoINFO_maker(
-            res_vireo['GT_prob'],
-            cell_dat['AD'] @ res_vireo['ID_prob'],
-            cell_dat['DP'] @ res_vireo['ID_prob'])
-        write_VCF(out_dir + "/GT_donors.vireo.vcf.gz", donor_vcf_out)
+        with phase("donor_vcf"):
+            donor_vcf_out = cell_dat
+            donor_vcf_out['samples'] = donor_names
+            donor_vcf_out['GenoINFO'] = GenoINFO_maker(
+                res_vireo['GT_prob'],
+                cell_dat['AD'] @ res_vireo['ID_prob'],
+                cell_dat['DP'] @ res_vireo['ID_prob'])
+            write_VCF(out_dir + "/GT_donors.vireo.vcf.gz", donor_vcf_out)
+    if tail_timer is not None:
+        print(tail_timer.summary())
 
     run_time = time.time() - START_TIME
     print("[vireo] All done: %d min %.1f sec"
