@@ -102,14 +102,13 @@ def _auto_mesh_hints(AD, DP, n_donor, GT_prior, n_extra_donor, n_init,
         return None, None
     try:
         from ..ops.counts import exact_count_dtype
-        import jax.numpy as _jnp
         n_var, n_cell = (int(s) for s in AD.shape)
         vmax = 0.0
         for X in (AD, DP):
             data = X.data if hasattr(X, "data") else np.asarray(X)
             if getattr(data, "size", 0):
                 vmax = max(vmax, float(data.max()))
-        count_bytes = 2.0 * n_var * n_cell * _jnp.dtype(
+        count_bytes = 2.0 * n_var * n_cell * jnp.dtype(
             exact_count_dtype(vmax)).itemsize
         # mirror the wrap's donor-count resolution: a prior with MORE
         # donors than requested widens the fit to the prior's width
@@ -122,7 +121,7 @@ def _auto_mesh_hints(AD, DP, n_donor, GT_prior, n_extra_donor, n_init,
         if GT_prior is not None:
             K = max(K, int(GT_prior.shape[1]))
         var_state_bytes = ((int(n_init) + 2) * n_var * K * n_GT
-                           * _jnp.dtype(dtype).itemsize)
+                           * jnp.dtype(dtype).itemsize)
         return count_bytes, var_state_bytes
     except Exception:
         return None, None
@@ -223,6 +222,29 @@ def _warm_select(counts, batched, priors, cfg, max_iter_init,
             counts.binom_coeff_sum())
 
 
+def _env_tristate(name, on_default):
+    """Three-way env knob: "1/on/yes" -> True, "0/off/no" -> False,
+    anything else -> `on_default`."""
+    import os
+    knob = os.environ.get(name, "").lower()
+    if knob in ("1", "on", "yes"):
+        return True
+    if knob in ("0", "off", "no"):
+        return False
+    return on_default
+
+
+def _batched_beta(cfg, n_init, np_dtype):
+    """The (n_init, L, G) beta_mu/beta_sum init arrays every batched
+    init shares (reference defaults, vireo_model.py:78-93)."""
+    L, G = cfg.theta_len, cfg.n_GT
+    beta_mu = np.broadcast_to(
+        (np.ones((L, G)) * np.linspace(0.01, 0.99, G)[None, :]).astype(
+            np_dtype), (n_init, L, G))
+    beta_sum = np.full((n_init, L, G), 50.0, np_dtype)
+    return jnp.asarray(beta_mu), jnp.asarray(beta_sum)
+
+
 def _host_batched_init(cfg, n_init, GT_prior_use, rng, dtype,
                        n_cell_draw=None):
     """The reference's per-restart np.random draws (identical stream
@@ -235,7 +257,7 @@ def _host_batched_init(cfg, n_init, GT_prior_use, rng, dtype,
     the remainder with the uniform prior (mesh cell padding must not
     shift the host RNG stream)."""
     from ..models.vireo import VireoState
-    L, G = cfg.theta_len, cfg.n_GT
+    G = cfg.n_GT
     K = cfg.n_donor
     C = cfg.n_cell
     c_draw = C if n_cell_draw is None else int(n_cell_draw)
@@ -255,12 +277,8 @@ def _host_batched_init(cfg, n_init, GT_prior_use, rng, dtype,
             gt_b[i] = gtp / gtp.sum(-1, keepdims=True)
         else:
             gt_b[i] = gp
-    beta_mu = np.broadcast_to(
-        (np.ones((L, G)) * np.linspace(0.01, 0.99, G)[None, :]).astype(
-            np_dtype), (n_init, L, G))
-    beta_sum = np.full((n_init, L, G), 50.0, np_dtype)
-    return VireoState(beta_mu=jnp.asarray(beta_mu),
-                      beta_sum=jnp.asarray(beta_sum),
+    beta_mu, beta_sum = _batched_beta(cfg, n_init, np_dtype)
+    return VireoState(beta_mu=beta_mu, beta_sum=beta_sum,
                       gt_prob=jnp.asarray(gt_b),
                       id_prob=jnp.asarray(id_b))
 
@@ -284,7 +302,7 @@ def _mt_batched_init(cfg, n_init, GT_prior_use, rng, dtype,
     from ..ops.mt19937 import (plan_stream, device_stream,
                                np_pairwise_sum_last)
     from ..models.vireo import VireoState
-    L, G = cfg.theta_len, cfg.n_GT
+    G = cfg.n_GT
     K, C, V = cfg.n_donor, cfg.n_cell, cfg.n_var
     c_draw = C if n_cell_draw is None else int(n_cell_draw)
     gt_draw = 0 if GT_prior_use is not None else V * K * G
@@ -315,13 +333,9 @@ def _mt_batched_init(cfg, n_init, GT_prior_use, rng, dtype,
         return idn, gtn
 
     idn, gtn = build(stream)
-    np_dtype = np.dtype(jnp.dtype(dtype).name)
-    beta_mu = np.broadcast_to(
-        (np.ones((L, G)) * np.linspace(0.01, 0.99, G)[None, :]).astype(
-            np_dtype), (n_init, L, G))
-    beta_sum = np.full((n_init, L, G), 50.0, np_dtype)
-    return VireoState(beta_mu=jnp.asarray(beta_mu),
-                      beta_sum=jnp.asarray(beta_sum),
+    beta_mu, beta_sum = _batched_beta(
+        cfg, n_init, np.dtype(jnp.dtype(dtype).name))
+    return VireoState(beta_mu=beta_mu, beta_sum=beta_sum,
                       gt_prob=gtn, id_prob=idn)
 
 
@@ -329,35 +343,26 @@ def _device_init_policy(random_seed):
     """Shared VIREO_DEVICE_INIT resolution (wrap + K-sweep): True =
     draw warm inits on device (unseeded default), False = host
     np.random stream (seeded default, reference parity)."""
-    import os
-    knob = os.environ.get("VIREO_DEVICE_INIT", "").lower()
-    if knob in ("1", "on", "yes"):
-        return True
-    if knob in ("0", "off", "no"):
-        return False
-    return random_seed is None
+    return _env_tristate("VIREO_DEVICE_INIT", random_seed is None)
+
+
+# seeded init streams at least this many doubles (~67 MB as uploaded
+# f32) default to the device MT19937 generator; demo-scale golden runs
+# stay below it on the bit-for-bit host path
+_MT_STREAM_MIN_DOUBLES = 1 << 23
 
 
 def _seeded_batched_init(cfg, n_init, GT_prior_use, rng, dtype,
                          n_cell_draw=None):
     """Seeded-run init dispatch: the reference-parity np.random stream,
     assembled either on host (one batched upload) or regenerated on
-    device (ops/mt19937.py). VIREO_DEVICE_MT=1/0 forces a path; the
-    default routes streams >= 2^23 doubles (~67 MB upload) to the
-    device generator — demo-scale golden runs stay on the bit-for-bit
-    host path, large pools skip the upload entirely."""
-    import os
+    device (ops/mt19937.py). VIREO_DEVICE_MT=1/0 forces a path."""
     c_draw = cfg.n_cell if n_cell_draw is None else int(n_cell_draw)
     n_total = n_init * (c_draw * cfg.n_donor
                         + (0 if GT_prior_use is not None
                            else cfg.n_var * cfg.n_donor * cfg.n_GT))
-    knob = os.environ.get("VIREO_DEVICE_MT", "auto").lower()
-    if knob in ("1", "on", "yes"):
-        use_mt = True
-    elif knob in ("0", "off", "no"):
-        use_mt = False
-    else:
-        use_mt = n_total >= (1 << 23)
+    use_mt = _env_tristate("VIREO_DEVICE_MT",
+                           n_total >= _MT_STREAM_MIN_DOUBLES)
     init = _mt_batched_init if use_mt else _host_batched_init
     return init(cfg, n_init, GT_prior_use, rng, dtype,
                 n_cell_draw=n_cell_draw)
@@ -501,9 +506,14 @@ def vireo_wrap(AD, DP=None, GT_prior=None, n_donor=None, learn_GT=True,
 
     n_cell_in = AD.n_cell if hasattr(AD, "suff_stats") \
         else int(AD.shape[1])
-    count_bytes, var_state_bytes = _auto_mesh_hints(
-        AD, DP, n_donor, GT_prior, n_extra_donor, n_init,
-        int(kwargs.get("n_GT", 3)), dtype)
+    # size hints (a data max() scan) only matter when an auto mesh
+    # could actually be elected
+    if mesh == "auto" and len(jax.devices()) > 1:
+        count_bytes, var_state_bytes = _auto_mesh_hints(
+            AD, DP, n_donor, GT_prior, n_extra_donor, n_init,
+            int(kwargs.get("n_GT", 3)), dtype)
+    else:
+        count_bytes = var_state_bytes = None
     mesh = _resolve_mesh(mesh, n_cell_in, count_bytes=count_bytes,
                          var_state_bytes=var_state_bytes,
                          verbose=verbose)

@@ -1047,9 +1047,9 @@ def _native_device_args(probe):
     row_ptr = np.empty(n_var + 1, np.int32)
     cols = np.zeros(target, np.int32)
     vals = np.zeros(target, np.uint8)
-    vexc_pos = np.empty(max(n_val_exc, 1), np.int32)
-    vexc_ad = np.empty(max(n_val_exc, 1), np.int8)
-    vexc_dp = np.empty(max(n_val_exc, 1), np.int8)
+    vexc_pos = np.empty(n_val_exc, np.int32)
+    vexc_ad = np.empty(n_val_exc, np.int8)
+    vexc_dp = np.empty(n_val_exc, np.int8)
     got = nat.encode_counts_fill(
         n_var, n_cell,
         p(probe["a_indptr"], i64p), p(probe["a_indices"], i32p),
@@ -1062,18 +1062,9 @@ def _native_device_args(probe):
     if got != nnz:
         return None
 
-    if n_val_exc:
-        empty_vals = None
-    else:
-        empty_vals = (np.int8(vals[0] & 15), np.int8(vals[0] >> 4))
-        vexc_pos, vexc_ad, vexc_dp = (np.zeros(0, np.int32),
-                                      np.zeros(0, np.int8),
-                                      np.zeros(0, np.int8))
     vexc_pos, vexc_ad, vexc_dp = _pad_pow2_idempotent(
-        vexc_pos[:n_val_exc] if n_val_exc else vexc_pos,
-        vexc_ad[:n_val_exc] if n_val_exc else vexc_ad,
-        vexc_dp[:n_val_exc] if n_val_exc else vexc_dp,
-        empty_values=empty_vals)
+        vexc_pos, vexc_ad, vexc_dp,
+        empty_values=(np.int8(vals[0] & 15), np.int8(vals[0] >> 4)))
 
     # column deltas over the PADDED array (the trailing zero columns
     # produce one negative-delta exception at position nnz, exactly as
@@ -1084,23 +1075,16 @@ def _native_device_args(probe):
         cols_dev = jnp.asarray(cols)
     else:
         deltas = np.empty(target, np.uint8)
-        cexc_pos = np.empty(max(n_cexc, 1), np.int32)
-        cexc_val = np.empty(max(n_cexc, 1), np.int32)
+        cexc_pos = np.empty(n_cexc, np.int32)
+        cexc_val = np.empty(n_cexc, np.int32)
         got = nat.delta_encode_cols(p(cols, i32p), target,
                                     p(deltas, u8p), p(cexc_pos, i32p),
                                     p(cexc_val, i32p), max(n_cexc, 1))
         if got != n_cexc:
             return None
-        if n_cexc:
-            empty_d = None
-        else:
-            empty_d = (np.int32(deltas[0]),)
-            cexc_pos, cexc_val = (np.zeros(0, np.int32),
-                                  np.zeros(0, np.int32))
         cexc_pos, cexc_val = _pad_pow2_idempotent(
-            cexc_pos[:n_cexc] if n_cexc else cexc_pos,
-            cexc_val[:n_cexc] if n_cexc else cexc_val,
-            empty_values=empty_d)
+            cexc_pos, cexc_val,
+            empty_values=(np.int32(deltas[0]),))
         cols_dev = (jnp.asarray(deltas), jnp.asarray(cexc_pos),
                     jnp.asarray(cexc_val))
 
