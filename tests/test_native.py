@@ -329,3 +329,48 @@ def test_native_probe_does_not_mutate_caller_matrices():
     if probe is not None:      # encoder sees the summed canonical view
         assert probe["vmax"] == 5.0
         assert probe["nnz"] == 2   # union pattern {(0,0), (1,1)}
+
+
+def test_native_encoder_fuzz_parity(native):
+    """Randomized structural fuzz of the fused encoder vs the numpy
+    chain: varying shapes, densities, empty rows/cols, AD/DP pattern
+    mismatch, value tails spanning the nibble and int8 cutoffs."""
+    import jax
+    import scipy.sparse as sp
+    from vireo_tpu.ops import counts as CT
+
+    for seed in range(10):
+        rng = np.random.RandomState(seed)
+        V = int(rng.randint(3, 200))
+        C = int(rng.randint(3, 150))
+        density = float(rng.choice([0.01, 0.1, 0.4]))
+        DP = (rng.rand(V, C) < density) * rng.randint(1, 30, (V, C))
+        AD = (DP * rng.rand(V, C)).astype(np.int64)
+        if rng.rand() < 0.5:          # extra AD-only entries
+            m = (rng.rand(V, C) < 0.02)
+            AD = AD + m * 2
+        if rng.rand() < 0.5:          # deep tail past int8
+            k = rng.randint(1, 5)
+            DP.flat[rng.choice(V * C, k, replace=False)] = 200
+        A = sp.csc_matrix(AD.astype(float))
+        D = sp.csc_matrix(DP.astype(float))
+        if A.nnz == 0 and D.nnz == 0:
+            continue
+
+        rows, cols, ad_v, dp_v = CT._host_union_triplets(A, D)
+        np_args = CT._triplet_device_args(
+            rows, cols, np.minimum(ad_v, 127), np.minimum(dp_v, 127),
+            CT.jnp.int8, n_var=V)
+        probe = CT._native_encode_probe(A, D)
+        assert probe is not None, seed
+        assert probe["nnz"] == len(rows), seed
+        nat_args = CT._native_device_args(probe)
+        n_exc = probe["n_val_exc"]
+        if nat_args is None:
+            assert n_exc >= probe["nnz"] // 8, seed  # declared fallback
+            continue
+        for side, (a, b) in enumerate(zip(jax.tree.leaves(np_args[:3]),
+                                          jax.tree.leaves(nat_args[:3]))):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg="seed=%d leaf=%d" % (seed, side))
