@@ -394,3 +394,28 @@ def test_densify_with_nibble_exceptions_exact(small_data):
     assert isinstance(got, DenseCounts) and got.ad.dtype == jnp.int8
     np.testing.assert_array_equal(np.asarray(got.ad, np.float64), A)
     np.testing.assert_array_equal(np.asarray(got.dp, np.float64), D)
+
+
+def test_host_union_does_not_mutate_caller(monkeypatch):
+    """_host_union_triplets (the non-native fallback) must not
+    canonicalize a shared-buffer CSR input in place (round-5 review:
+    csr_matrix(X) on a CSR shares indptr/data)."""
+    import scipy.sparse as sp
+    from vireo_tpu.ops import counts as CT
+    import vireo_tpu.io._native as N
+
+    AD = sp.csr_matrix((np.array([1.0, 2.0, 3.0]),
+                        np.array([0, 0, 1]),
+                        np.array([0, 2, 3, 3])), shape=(3, 3))
+    DP = sp.csr_matrix(np.array([[4.0, 0, 0], [0, 5.0, 0], [0, 0, 0]]))
+    assert not AD.has_canonical_format
+    nnz_before, data_before = AD.nnz, AD.data.copy()
+
+    monkeypatch.setattr(N, "lib", lambda: None)   # force scipy path
+    rows, cols, a, d = CT._host_union_triplets(AD, DP)
+    assert AD.nnz == nnz_before
+    np.testing.assert_array_equal(AD.data, data_before)
+    # union is over the CANONICAL view: (0,0)=3 summed, (1,1)
+    np.testing.assert_array_equal(rows, [0, 1])
+    np.testing.assert_array_equal(a, [3.0, 3.0])
+    np.testing.assert_array_equal(d, [4.0, 5.0])

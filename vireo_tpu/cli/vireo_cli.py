@@ -279,7 +279,10 @@ def main(argv=None):
 
     import contextlib
     from ..utils.timing import PhaseTimer
-    tail_timer = PhaseTimer() if options.timing else None
+    # same knob resolution as vireo_wrap: --timing OR VIREO_TIMING=1
+    timing_on = options.timing or os.environ.get(
+        "VIREO_TIMING", "0").lower() not in ("0", "", "no", "off")
+    tail_timer = PhaseTimer() if timing_on else None
 
     def phase(name):
         return tail_timer.phase(name) if tail_timer \

@@ -695,11 +695,19 @@ def _host_union_triplets(AD, DP):
     is a few seconds.
     """
     import scipy.sparse as sp
-    A = sp.csr_matrix(AD)
-    D = sp.csr_matrix(DP)
+
+    def canon_csr(X):
+        # csr_matrix(X) on a CSR input SHARES its buffers:
+        # canonicalize a copy, never the caller's matrix
+        M = sp.csr_matrix(X)
+        if not M.has_canonical_format:
+            M = M.copy()
+            M.sum_duplicates()
+        return M
+
+    A = canon_csr(AD)
+    D = canon_csr(DP)
     assert A.shape == D.shape, "AD and DP shapes differ"
-    A.sum_duplicates()
-    D.sum_duplicates()
     C = int(A.shape[1])
     if np.array_equal(A.indptr, D.indptr) and \
             np.array_equal(A.indices, D.indices):
@@ -1077,9 +1085,12 @@ def _native_device_args(probe):
         deltas = np.empty(target, np.uint8)
         cexc_pos = np.empty(n_cexc, np.int32)
         cexc_val = np.empty(n_cexc, np.int32)
+        # capacity EXACTLY n_cexc: if the two passes ever diverged the
+        # C side bound-checks (returns -1) before writing past the
+        # exact-size buffers
         got = nat.delta_encode_cols(p(cols, i32p), target,
                                     p(deltas, u8p), p(cexc_pos, i32p),
-                                    p(cexc_val, i32p), max(n_cexc, 1))
+                                    p(cexc_val, i32p), n_cexc)
         if got != n_cexc:
             return None
         cexc_pos, cexc_val = _pad_pow2_idempotent(
