@@ -374,3 +374,51 @@ def test_native_encoder_fuzz_parity(native):
             np.testing.assert_array_equal(
                 np.asarray(a), np.asarray(b),
                 err_msg="seed=%d leaf=%d" % (seed, side))
+
+
+def test_native_hybrid_rung_matches_numpy_path(native, monkeypatch):
+    """The int8-hybrid layout (clipped base + overflow residual) built
+    via the native encoder is BIT-IDENTICAL to the numpy
+    _hybrid_from_triplets path: base, residual arrays, and the
+    binomial correction."""
+    import jax
+    import scipy.sparse as sp
+    from vireo_tpu.ops import counts as CT
+
+    AD, DP = _heavy_pair(seed=7)
+    # push a tail past the int8 cap so the residual is real
+    D = DP.toarray()
+    A = AD.toarray()
+    rng = np.random.RandomState(1)
+    idx = rng.choice(D.size, 25, replace=False)
+    D.flat[idx] = rng.randint(200, 2000, 25)
+    A.flat[idx] = (D.flat[idx] * 0.6).astype(np.int64)
+    AD, DP = sp.csc_matrix(A), sp.csc_matrix(D)
+
+    kw = dict(max_dense_elems=0,
+              dense_budget=3.0 * A.size)   # forces the hybrid rung
+    got = CT.counts_from_scipy(AD, DP, **kw)
+    assert isinstance(got, CT.HybridCounts) and got.cap == 127
+    assert got.resid_nnz == 25
+
+    monkeypatch.setattr(CT, "_native_encode_probe", lambda *a: None)
+    want = CT.counts_from_scipy(AD, DP, **kw)
+    monkeypatch.undo()
+    assert isinstance(want, CT.HybridCounts)
+
+    np.testing.assert_array_equal(np.asarray(got.base.ad),
+                                  np.asarray(want.base.ad))
+    np.testing.assert_array_equal(np.asarray(got.base.dp),
+                                  np.asarray(want.base.dp))
+    for a, b in zip(jax.tree.leaves(got.resid),
+                    jax.tree.leaves(want.resid)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(float(got.binom_corr),
+                               float(want.binom_corr), rtol=1e-12)
+
+    # contractions exact vs the true dense matrices
+    W = np.random.RandomState(5).rand(A.shape[1], 3)
+    S1, SS = (np.asarray(x)
+              for x in got.suff_stats(CT.jnp.asarray(W)))
+    np.testing.assert_allclose(S1, A @ W, rtol=1e-10)
+    np.testing.assert_allclose(SS, D @ W, rtol=1e-10)

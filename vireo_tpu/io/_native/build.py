@@ -100,6 +100,11 @@ def _build():
     lib.delta_encode_cols.restype = ctypes.c_int64
     lib.delta_encode_cols.argtypes = [i32p, ctypes.c_int64, u8p, i32p,
                                       i32p, ctypes.c_int64]
+    lib.collect_overflow_csc.restype = ctypes.c_int64
+    lib.collect_overflow_csc.argtypes = [ctypes.c_int64, i64p, i32p,
+                                         f64p, i64p, i32p, f64p, i32p,
+                                         i32p, f64p, f64p,
+                                         ctypes.c_int64]
     return lib
 
 

@@ -793,6 +793,46 @@ int64_t encode_counts_fill(int64_t n_row, int64_t n_col,
   return cnt[n_row];
 }
 
+// Union entries whose TRUE value exceeds the int8 transfer cap (127)
+// on either side — the hybrid rung's overflow residual.  Two-call
+// protocol: out_rows == nullptr returns the count; the second call
+// fills row/col (int32) and the true ad/dp values (double), refusing
+// (-1) when more than max_n would be written.
+int64_t collect_overflow_csc(int64_t n_col, const int64_t* a_indptr,
+                             const int32_t* a_indices,
+                             const double* a_data,
+                             const int64_t* d_indptr,
+                             const int32_t* d_indices,
+                             const double* d_data, int32_t* out_rows,
+                             int32_t* out_cols, double* out_ad,
+                             double* out_dp, int64_t max_n) {
+  int64_t k = 0;
+  for (int64_t c = 0; c < n_col; ++c) {
+    int64_t i = a_indptr[c], ie = a_indptr[c + 1];
+    int64_t j = d_indptr[c], je = d_indptr[c + 1];
+    while (i < ie || j < je) {
+      int32_t ra = i < ie ? a_indices[i] : INT32_MAX;
+      int32_t rd = j < je ? d_indices[j] : INT32_MAX;
+      int32_t r = ra < rd ? ra : rd;
+      double a = (ra == r) ? a_data[i] : 0.0;
+      double d = (rd == r) ? d_data[j] : 0.0;
+      if (a > 127.0 || d > 127.0) {
+        if (out_rows != nullptr) {
+          if (k >= max_n) return -1;
+          out_rows[k] = r;
+          out_cols[k] = static_cast<int32_t>(c);
+          out_ad[k] = a;
+          out_dp[k] = d;
+        }
+        ++k;
+      }
+      i += (ra == r);
+      j += (rd == r);
+    }
+  }
+  return k;
+}
+
 int64_t delta_encode_cols(const int32_t* cols, int64_t n, uint8_t* deltas,
                           int32_t* exc_pos, int32_t* exc_val,
                           int64_t max_exc) {

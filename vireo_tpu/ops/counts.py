@@ -1027,6 +1027,81 @@ def _native_encode_probe(AD, DP):
     return args
 
 
+def _native_overflow_triplets(probe):
+    """Union entries whose true value exceeds the int8 cap, with TRUE
+    values — the hybrid residual's input. None on native divergence."""
+    import ctypes
+    nat = probe["nat"]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+
+    def p(x, t):
+        return x.ctypes.data_as(t)
+
+    a = (p(probe["a_indptr"], i64p), p(probe["a_indices"], i32p),
+         p(probe["a_data"], f64p))
+    d = (p(probe["d_indptr"], i64p), p(probe["d_indices"], i32p),
+         p(probe["d_data"], f64p))
+    n_col = probe["shape"][1]
+    n = int(nat.collect_overflow_csc(n_col, *a, *d, None, None, None,
+                                     None, 0))
+    rows = np.empty(n, np.int32)
+    cols = np.empty(n, np.int32)
+    at = np.empty(n, np.float64)
+    dt = np.empty(n, np.float64)
+    got = nat.collect_overflow_csc(n_col, *a, *d, p(rows, i32p),
+                                   p(cols, i32p), p(at, f64p),
+                                   p(dt, f64p), n)
+    if got != n:
+        return None
+    return rows, cols, at, dt
+
+
+def _hybrid_from_native(probe, sharding=None):
+    """int8-hybrid layout (clipped dense base + overflow residual)
+    built from the fused native encoder: the base comes from the
+    clipped transfer encoding, the residual and binomial correction
+    from the collected true-value overflow entries — semantics
+    identical to `_hybrid_from_triplets(cap=127, kind="int8")` without
+    the numpy union chain. None when the encoder declines."""
+    args = _native_device_args(probe)
+    if args is None:
+        return None
+    over = _native_overflow_triplets(probe)
+    if over is None:
+        return None
+    first, cols_dev, vals_dev, use_ptr = args
+    shape = probe["shape"]
+    base = _scatter_dense(first, cols_dev, vals_dev, use_ptr, shape,
+                          jnp.int8, sharding=sharding)
+    rows, cols, at, dt = over
+    corr = float(np.sum(_np_log_binom_coeff(dt, at))
+                 - np.sum(_np_log_binom_coeff(np.minimum(dt, 127.0),
+                                              np.minimum(at, 127.0))))
+    n_over = len(rows)
+    if n_over > 0.1 * max(probe["nnz"], 1):
+        print("[vireo] warning: %.0f%% of counts exceed the int8 cap "
+              "127 — the hybrid residual is unusually large and per-"
+              "iteration cost grows with it"
+              % (100 * n_over / probe["nnz"]))
+    pad_multiple = max(8192,
+                       1 << int(np.ceil(np.log2(max(n_over, 1)))))
+    resid = _sparse_from_triplets(
+        rows, cols, np.maximum(at - 127.0, 0.0),
+        np.maximum(dt - 127.0, 0.0), shape,
+        pad_multiple=pad_multiple, with_ptr=False)
+    if sharding is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        rep = NamedSharding(sharding.mesh, PartitionSpec())
+        resid = jax.tree.map(lambda x: jax.device_put(x, rep), resid)
+    corr_dtype = jnp.float64 if jax.config.jax_enable_x64 \
+        else jnp.float32
+    return HybridCounts(base=base, resid=resid,
+                        binom_corr=jnp.asarray(corr, corr_dtype),
+                        cap=127)
+
+
 def _native_device_args(probe):
     """Second/third passes of the fused native encoder: device args
     (row_ptr, delta-encoded cols, nibble-packed vals) bit-matching
@@ -1483,8 +1558,6 @@ def counts_from_scipy(AD, DP, dtype=jnp.float32, max_dense_elems=64_000_000,
             rows, cols, ad_v, dp_v = _host_union_triplets(AD, DP)
         return _densify_triplets(rows, cols, ad_v, dp_v, shape,
                                  dense_dtype, sharding=sharding)
-    if rows is None:   # non-int8-dense rungs build from numpy triplets
-        rows, cols, ad_v, dp_v = _host_union_triplets(AD, DP)
     no_hybrid = os.environ.get("VIREO_NO_HYBRID", "0") == "1"
     # hybrid rung: int8 base clipped at 127 + COO residual of the rare
     # overflow deltas — dense-rung speed at ANY count magnitude. This
@@ -1496,8 +1569,16 @@ def counts_from_scipy(AD, DP, dtype=jnp.float32, max_dense_elems=64_000_000,
             print("[vireo] %dx%d counts (max %.0f) split into int8 base "
                   "+ overflow residual (%.1f GiB dense)"
                   % (AD.shape[0], AD.shape[1], vmax, 2 * n_elems / 2**30))
+        if probe is not None:
+            h = _hybrid_from_native(probe, sharding=sharding)
+            if h is not None:
+                return h
+        if rows is None:
+            rows, cols, ad_v, dp_v = _host_union_triplets(AD, DP)
         return _hybrid_from_triplets(rows, cols, ad_v, dp_v, shape,
                                      127, "int8", sharding=sharding)
+    if rows is None:   # remaining rungs build from numpy triplets
+        rows, cols, ad_v, dp_v = _host_union_triplets(AD, DP)
     # capacity rung: 4-bit nibble packing halves the dense footprint
     # whenever every count fits a nibble (<= 15). ~7% slower per pass
     # than int8 (MXU-lane-floor-bound either way) but keeps matrices
