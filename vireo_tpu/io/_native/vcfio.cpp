@@ -698,7 +698,7 @@ int64_t encode_counts_stats(int64_t n_col, const int64_t* a_indptr,
                             const int64_t* d_indptr,
                             const int32_t* d_indices, const double* d_data,
                             int64_t* stats_out) {
-  int64_t nnz = 0, n_val_exc = 0;
+  int64_t nnz = 0, n_val_exc = 0, n_over = 0;
   double vmax = 0.0;
   for (int64_t c = 0; c < n_col; ++c) {
     int64_t i = a_indptr[c], ie = a_indptr[c + 1];
@@ -712,6 +712,7 @@ int64_t encode_counts_stats(int64_t n_col, const int64_t* a_indptr,
       if (a > vmax) vmax = a;
       if (d > vmax) vmax = d;
       if (clip127(a) > 15 || clip127(d) > 15) ++n_val_exc;
+      if (a > 127.0 || d > 127.0) ++n_over;   // hybrid residual size
       i += (ra == r);
       j += (rd == r);
       ++nnz;
@@ -722,6 +723,7 @@ int64_t encode_counts_stats(int64_t n_col, const int64_t* a_indptr,
   // ceil: a fractional max must not under-report past a dtype cutoff
   stats_out[2] = static_cast<int64_t>(vmax) +
                  (vmax > static_cast<double>(static_cast<int64_t>(vmax)));
+  stats_out[3] = n_over;
   return nnz;
 }
 

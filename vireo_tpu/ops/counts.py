@@ -487,8 +487,13 @@ def _np_log_binom_coeff(dp, ad, max_val=700.0):
 
 
 def _hybrid_from_triplets(rows, cols, ad_v, dp_v, shape, cap, kind,
-                          sharding=None, pad_multiple=8192, base=None):
-    """Build HybridCounts from host COO triplets (see hybrid_from_coo)."""
+                          sharding=None, pad_multiple=8192, base=None,
+                          warn_total=None):
+    """Build HybridCounts from host COO triplets (see hybrid_from_coo).
+
+    `warn_total` overrides the residual-size warning's denominator —
+    the native path passes only the OVERFLOW triplets plus a pre-built
+    base, so the full union nnz must come from the caller."""
     ar = np.asarray(ad_v, np.float64)
     dr = np.asarray(dp_v, np.float64)
     rr = np.asarray(rows)
@@ -502,11 +507,11 @@ def _hybrid_from_triplets(rows, cols, ad_v, dp_v, shape, cap, kind,
     # the padded residual size, so coarse buckets keep the persistent
     # compile cache hot across datasets
     n_over = int(m.sum())
-    if n_over > 0.1 * max(len(ar), 1):
+    if n_over > 0.1 * max(warn_total or len(ar), 1):
         print("[vireo] warning: %.0f%% of counts exceed the %s cap %d "
               "— the hybrid residual is unusually large and per-"
-              "iteration cost grows with it" % (100 * n_over / len(ar),
-                                                kind, cap))
+              "iteration cost grows with it"
+              % (100 * n_over / (warn_total or len(ar)), kind, cap))
     pad_multiple = max(pad_multiple,
                        1 << int(np.ceil(np.log2(max(n_over, 1)))))
     resid = _sparse_from_triplets(
@@ -1007,7 +1012,7 @@ def _native_encode_probe(AD, DP):
         args[tag + "_indptr"] = np.ascontiguousarray(M.indptr, np.int64)
         args[tag + "_indices"] = np.ascontiguousarray(M.indices, np.int32)
         args[tag + "_data"] = np.ascontiguousarray(M.data, np.float64)
-    stats = np.zeros(3, np.int64)
+    stats = np.zeros(4, np.int64)
     rc = nat.encode_counts_stats(
         int(A.shape[1]),
         args["a_indptr"].ctypes.data_as(i64p),
@@ -1023,13 +1028,15 @@ def _native_encode_probe(AD, DP):
     args["nnz"] = int(stats[0])
     args["n_val_exc"] = int(stats[1])
     args["vmax"] = float(stats[2])
+    args["n_over"] = int(stats[3])
     args["nat"] = nat
     return args
 
 
 def _native_overflow_triplets(probe):
     """Union entries whose true value exceeds the int8 cap, with TRUE
-    values — the hybrid residual's input. None on native divergence."""
+    values — the hybrid residual's input (the count comes from the
+    stats pass). None on native divergence."""
     import ctypes
     nat = probe["nat"]
     i32p = ctypes.POINTER(ctypes.c_int32)
@@ -1039,20 +1046,18 @@ def _native_overflow_triplets(probe):
     def p(x, t):
         return x.ctypes.data_as(t)
 
-    a = (p(probe["a_indptr"], i64p), p(probe["a_indices"], i32p),
-         p(probe["a_data"], f64p))
-    d = (p(probe["d_indptr"], i64p), p(probe["d_indices"], i32p),
-         p(probe["d_data"], f64p))
-    n_col = probe["shape"][1]
-    n = int(nat.collect_overflow_csc(n_col, *a, *d, None, None, None,
-                                     None, 0))
+    n = probe["n_over"]
     rows = np.empty(n, np.int32)
     cols = np.empty(n, np.int32)
     at = np.empty(n, np.float64)
     dt = np.empty(n, np.float64)
-    got = nat.collect_overflow_csc(n_col, *a, *d, p(rows, i32p),
-                                   p(cols, i32p), p(at, f64p),
-                                   p(dt, f64p), n)
+    got = nat.collect_overflow_csc(
+        probe["shape"][1],
+        p(probe["a_indptr"], i64p), p(probe["a_indices"], i32p),
+        p(probe["a_data"], f64p),
+        p(probe["d_indptr"], i64p), p(probe["d_indices"], i32p),
+        p(probe["d_data"], f64p),
+        p(rows, i32p), p(cols, i32p), p(at, f64p), p(dt, f64p), n)
     if got != n:
         return None
     return rows, cols, at, dt
@@ -1061,10 +1066,12 @@ def _native_overflow_triplets(probe):
 def _hybrid_from_native(probe, sharding=None):
     """int8-hybrid layout (clipped dense base + overflow residual)
     built from the fused native encoder: the base comes from the
-    clipped transfer encoding, the residual and binomial correction
-    from the collected true-value overflow entries — semantics
-    identical to `_hybrid_from_triplets(cap=127, kind="int8")` without
-    the numpy union chain. None when the encoder declines."""
+    clipped transfer encoding; the residual and binomial correction
+    are delegated to `_hybrid_from_triplets` over the collected
+    true-value overflow entries. Layout arrays equal the numpy path's
+    exactly; the binomial correction agrees to f64 roundoff (the
+    overflow entries are summed in collection order, which differs
+    between the two paths). None when the encoder declines."""
     args = _native_device_args(probe)
     if args is None:
         return None
@@ -1076,30 +1083,12 @@ def _hybrid_from_native(probe, sharding=None):
     base = _scatter_dense(first, cols_dev, vals_dev, use_ptr, shape,
                           jnp.int8, sharding=sharding)
     rows, cols, at, dt = over
-    corr = float(np.sum(_np_log_binom_coeff(dt, at))
-                 - np.sum(_np_log_binom_coeff(np.minimum(dt, 127.0),
-                                              np.minimum(at, 127.0))))
-    n_over = len(rows)
-    if n_over > 0.1 * max(probe["nnz"], 1):
-        print("[vireo] warning: %.0f%% of counts exceed the int8 cap "
-              "127 — the hybrid residual is unusually large and per-"
-              "iteration cost grows with it"
-              % (100 * n_over / probe["nnz"]))
-    pad_multiple = max(8192,
-                       1 << int(np.ceil(np.log2(max(n_over, 1)))))
-    resid = _sparse_from_triplets(
-        rows, cols, np.maximum(at - 127.0, 0.0),
-        np.maximum(dt - 127.0, 0.0), shape,
-        pad_multiple=pad_multiple, with_ptr=False)
-    if sharding is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
-        rep = NamedSharding(sharding.mesh, PartitionSpec())
-        resid = jax.tree.map(lambda x: jax.device_put(x, rep), resid)
-    corr_dtype = jnp.float64 if jax.config.jax_enable_x64 \
-        else jnp.float32
-    return HybridCounts(base=base, resid=resid,
-                        binom_corr=jnp.asarray(corr, corr_dtype),
-                        cap=127)
+    # every passed triplet is an overflow entry, so the shared tail
+    # masks nothing; warn_total keeps the residual-size warning
+    # denominated in the FULL union nnz
+    return _hybrid_from_triplets(rows, cols, at, dt, shape, 127,
+                                 "int8", sharding=sharding, base=base,
+                                 warn_total=probe["nnz"])
 
 
 def _native_device_args(probe):
