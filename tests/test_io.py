@@ -137,3 +137,65 @@ def test_write_vcf_roundtrip(tmp_path, reference):
     assert back["samples"] == ["donor0", "donor1"]
     gt_back = np.array(back["GenoINFO"]["GT"])
     assert gt_back.shape == (n_var, 2)
+
+
+def test_read_vartrix_and_cli_route(tmp_path, reference):
+    """read_vartrix (DP = REF + ALT, io_utils.py:62-88) matches the
+    reference loader on synthetic vartrix outputs, and the CLI's
+    --vartrixData route runs end to end."""
+    import gzip
+    import scipy.io
+    import scipy.sparse as sp
+
+    rng = np.random.RandomState(4)
+    n_var, n_cell, n_donor = 400, 120, 3
+    GT = rng.randint(0, 3, size=(n_var, n_donor))
+    theta = np.array([0.02, 0.5, 0.98])
+    donor = rng.randint(0, n_donor, size=n_cell)
+    DP = (rng.rand(n_var, n_cell) < 0.4) * rng.poisson(4, (n_var, n_cell))
+    AD = np.random.RandomState(5).binomial(DP, theta[GT[:, donor]])
+    REF = DP - AD
+
+    alt_p = str(tmp_path / "alt.mtx")
+    ref_p = str(tmp_path / "ref.mtx")
+    scipy.io.mmwrite(alt_p, sp.coo_matrix(AD), field="integer")
+    scipy.io.mmwrite(ref_p, sp.coo_matrix(REF), field="integer")
+    bar_p = str(tmp_path / "barcodes.tsv")
+    with open(bar_p, "w") as f:
+        for c in range(n_cell):
+            f.write("BC%04d-1\n" % c)
+    vcf_p = str(tmp_path / "vars.vcf.gz")
+    with gzip.open(vcf_p, "wt") as f:
+        f.write("##fileformat=VCFv4.2\n")
+        f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        for i in range(n_var):
+            f.write("1\t%d\t.\tA\tC\t.\tPASS\t.\n" % (i + 1))
+
+    from vireo_tpu.io.matrices import read_vartrix
+    ours = read_vartrix(alt_p, ref_p, bar_p, vcf_p)
+    theirs = reference.read_vartrix(alt_p, ref_p, bar_p, vcf_p)
+    assert (ours["AD"] != theirs["AD"]).nnz == 0
+    assert (ours["DP"] != theirs["DP"]).nnz == 0
+    np.testing.assert_array_equal(ours["samples"], theirs["samples"])
+    np.testing.assert_array_equal(ours["variants"], theirs["variants"])
+
+    # full CLI route (mode 1 over vartrix inputs)
+    from vireo_tpu.cli.vireo_cli import main as vireo_main
+    out = tmp_path / "out"
+    vireo_main(["--vartrixData", "%s,%s,%s,%s" % (alt_p, ref_p, bar_p,
+                                                  vcf_p),
+                "-N", "3", "-o", str(out), "--randSeed", "2",
+                "--noPlot"])
+    rows = open(out / "donor_ids.tsv").read().splitlines()
+    assert rows[0].startswith("cell\tdonor_id")
+    assert len(rows) == n_cell + 1
+    # planted structure is recovered (labels permuted)
+    calls = np.array([r.split("\t")[1] for r in rows[1:]])
+    from vireo_tpu.ops.matching import get_confusion
+    named = calls != "unassigned"
+    ids = np.array([int(c[-1]) if c.startswith("donor") else -1
+                    for c in calls])
+    conf = get_confusion(ids[named & (ids >= 0)],
+                         donor[named & (ids >= 0)])[0]
+    acc = conf.max(axis=1).sum() / conf.sum()
+    assert acc > 0.95
