@@ -417,17 +417,10 @@ def _model_from_state(counts, cfg_kwargs, n_donor, learn_GT, state,
     re-uploading the (C, K) posterior and its host renormalization,
     several seconds of link latency at the 100k-cell scale."""
     if device_state:
-        n_GT = int(cfg_kwargs.get("n_GT", 3))
         m = Vireo(n_cell=counts.n_cell, n_var=counts.n_var,
                   n_donor=n_donor, learn_GT=learn_GT, dtype=dtype,
-                  beta_mu_init=np.asarray(state.beta_mu),
-                  beta_sum_init=np.asarray(state.beta_sum),
-                  ID_prob_init=np.full((counts.n_cell, n_donor),
-                                       1.0 / n_donor),
-                  GT_prob_init=np.full((counts.n_var, n_donor, n_GT),
-                                       1.0 / n_GT), **cfg_kwargs)
+                  state_init=state, **cfg_kwargs)
         m.set_prior(GT_prior=GT_prior_use)
-        m.state = state
         return m
     m = Vireo(n_cell=counts.n_cell, n_var=counts.n_var, n_donor=n_donor,
               learn_GT=learn_GT, dtype=dtype,

@@ -382,7 +382,12 @@ class Vireo:
     def __init__(self, n_cell, n_var, n_donor, n_GT=3, learn_GT=True,
                  learn_theta=True, ASE_mode=False, fix_beta_sum=False,
                  beta_mu_init=None, beta_sum_init=None, ID_prob_init=None,
-                 GT_prob_init=None, dtype=jnp.float32, rng=None):
+                 GT_prob_init=None, dtype=jnp.float32, rng=None,
+                 state_init=None):
+        """`state_init`: adopt an existing (device) VireoState verbatim
+        instead of building one from host inits — no placeholder
+        normalization or upload (the wrap's device-init path hands the
+        warm winner straight to the refit this way)."""
         self.config = VireoConfig(
             n_var=n_var, n_cell=n_cell, n_donor=n_donor, n_GT=n_GT,
             learn_GT=learn_GT, learn_theta=learn_theta, ASE_mode=ASE_mode,
@@ -390,8 +395,11 @@ class Vireo:
         self.dtype = dtype
         self._rng = rng
         self.ELBO_ = np.zeros(0)
-        self.set_initial(beta_mu_init, beta_sum_init, ID_prob_init,
-                         GT_prob_init)
+        if state_init is not None:
+            self.state = state_init
+        else:
+            self.set_initial(beta_mu_init, beta_sum_init, ID_prob_init,
+                             GT_prob_init)
         self.set_prior()
 
     # -- reference-compatible property surface
