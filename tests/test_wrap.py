@@ -291,3 +291,38 @@ def test_host_batched_init_stream_parity():
                                   np.asarray(unpadded.id_prob))
     np.testing.assert_array_equal(np.asarray(padded.id_prob[:, 30:]),
                                   np.full((2, 2, 3), 1 / 3, np.float32))
+
+
+def test_checkpoint_resume_with_device_mt_stream(small_data, tmp_path,
+                                                 monkeypatch):
+    """Checkpoint/resume semantics hold when the seeded init stream
+    comes from the device MT19937 generator: the saved host-RNG
+    position reflects the (identically advanced) stream, and an
+    interrupted run resumes to the exact uninterrupted result."""
+    import os
+    from vireo_tpu.engine.wrap import vireo_wrap
+
+    AD, DP, _ = small_data
+    monkeypatch.setenv("VIREO_DEVICE_MT", "1")
+    kw = dict(n_donor=3, learn_GT=True, n_init=3, random_seed=11,
+              check_doublet=True, dtype=jnp.float64, verbose=False)
+
+    res_plain = vireo_wrap(AD, DP, **kw)
+    ck = str(tmp_path / "ck_mt")
+    res_full = vireo_wrap(AD, DP, checkpoint_dir=ck, **kw)
+    for key in ("ID_prob", "GT_prob", "doublet_prob", "doublet_LLR"):
+        np.testing.assert_array_equal(res_full[key], res_plain[key])
+
+    # killed after the warm phase: resume re-runs refit+doublet from
+    # the restored stream position
+    os.remove(os.path.join(ck, "vireo_ckpt_00000001.npz"))
+    res_r0 = vireo_wrap(AD, DP, checkpoint_dir=ck, **kw)
+    for key in ("ID_prob", "GT_prob", "doublet_prob", "doublet_LLR",
+                "LB_doublet", "LB_list"):
+        np.testing.assert_array_equal(res_r0[key], res_full[key])
+
+    # and the MT path's result equals the host-upload path's
+    monkeypatch.setenv("VIREO_DEVICE_MT", "0")
+    res_host = vireo_wrap(AD, DP, **kw)
+    np.testing.assert_array_equal(res_host["ID_prob"],
+                                  res_plain["ID_prob"])
