@@ -10,8 +10,11 @@ chunking, vireo.py:136-142):
 - `vireo_wrap(mesh="auto")` cell-shards the layout over all local
   devices for big pools;
 - unseeded runs draw restart inits on device by default (no host
-  np.random upload); an explicit random_seed keeps the host draws
-  for reference-RNG parity (VIREO_DEVICE_INIT=1/0 forces either).
+  np.random upload); an explicit random_seed keeps reference-RNG
+  parity — at scale the exact np.random stream is REGENERATED ON
+  DEVICE from ~2.5 MB of MT19937 states (ops/mt19937.py) instead of
+  uploading the drawn floats (VIREO_DEVICE_INIT / VIREO_DEVICE_MT
+  force either path).
 
 The default sizing here is laptop-friendly; scale the env knobs up on
 real hardware (benchmarks/e2e_100k.py and e2e_hybrid.py run the
