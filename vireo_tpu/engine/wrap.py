@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..ops.counts import (DenseCounts, SparseCounts, HybridCounts,
                           counts_from_scipy)
-from ..utils.fetch import host_fetch
+from ..utils.fetch import host_fetch, host_put
 from ..ops.matching import optimal_match, donor_select
 from ..models.vireo import (Vireo, VireoConfig, default_priors,
                             fit_vb)
@@ -279,8 +279,8 @@ def _host_batched_init(cfg, n_init, GT_prior_use, rng, dtype,
             gt_b[i] = gp
     beta_mu, beta_sum = _batched_beta(cfg, n_init, np_dtype)
     return VireoState(beta_mu=beta_mu, beta_sum=beta_sum,
-                      gt_prob=jnp.asarray(gt_b),
-                      id_prob=jnp.asarray(id_b))
+                      gt_prob=host_put(gt_b),
+                      id_prob=host_put(id_b))
 
 
 def _mt_batched_init(cfg, n_init, GT_prior_use, rng, dtype,

@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from .math import log_binom_coeff
+from ..utils.fetch import host_put
 
 __all__ = [
     "Counts", "DenseCounts", "SparseCounts", "HybridCounts",
@@ -849,10 +850,10 @@ def _sparse_from_triplets(rows, cols, ad_vals, dp_vals, shape,
     if with_ptr is None:
         with_ptr = os.environ.get("VIREO_COO_EXACT", "0") != "1"
     return SparseCounts(
-        rows_r=jnp.asarray(rr), cols_r=jnp.asarray(cr),
-        ad_r=jnp.asarray(ar, dtype=dtype), dp_r=jnp.asarray(dr, dtype=dtype),
-        rows_c=jnp.asarray(rc), cols_c=jnp.asarray(cc),
-        ad_c=jnp.asarray(ac, dtype=dtype), dp_c=jnp.asarray(dc, dtype=dtype),
+        rows_r=host_put(rr), cols_r=host_put(cr),
+        ad_r=host_put(ar, dtype), dp_r=host_put(dr, dtype),
+        rows_c=host_put(rc), cols_c=host_put(cc),
+        ad_c=host_put(ac, dtype), dp_c=host_put(dc, dtype),
         shape=(int(n_var), int(n_cell)), nnz=int(nnz),
         row_ptr=jnp.asarray(row_ptr, jnp.int32) if with_ptr else None,
         col_ptr=jnp.asarray(col_ptr, jnp.int32) if with_ptr else None,
@@ -901,13 +902,13 @@ def _triplet_device_args(rows, cols, ad_v, dp_v, val_dtype, n_var=None):
         first = jnp.asarray(ptr)
         cols_dev = _encode_cols_delta(cols)
     else:
-        first = jnp.asarray(rows.astype(np.int32))
-        cols_dev = jnp.asarray(cols)
+        first = host_put(rows.astype(np.int32))
+        cols_dev = host_put(cols)
     if jnp.dtype(val_dtype) == jnp.int8:
         vals = _encode_vals_nibble(ad_v, dp_v)
     else:
-        vals = (jnp.asarray(ad_v, val_dtype),
-                jnp.asarray(dp_v, val_dtype))
+        vals = (host_put(ad_v, val_dtype),
+                host_put(dp_v, val_dtype))
     return first, cols_dev, vals, use_ptr
 
 
@@ -952,7 +953,7 @@ def _encode_vals_nibble(ad, dp):
     n_exc = int((~small).sum())
     # breakeven: each exception costs 6 B vs the 1 B/entry saved
     if n_exc >= n // 8:
-        return (jnp.asarray(ad, jnp.int8), jnp.asarray(dp, jnp.int8))
+        return (host_put(ad, jnp.int8), host_put(dp, jnp.int8))
     packed = np.where(
         small,
         (ad.astype(np.int64) | (dp.astype(np.int64) << 4)), 0
@@ -963,8 +964,8 @@ def _encode_vals_nibble(ad, dp):
     exc_pos, exc_ad, exc_dp = _pad_pow2_idempotent(
         exc_pos, exc_ad, exc_dp,
         empty_values=(np.int8(ad[0]), np.int8(dp[0])))
-    return (jnp.asarray(packed), jnp.asarray(exc_pos),
-            jnp.asarray(exc_ad), jnp.asarray(exc_dp))
+    return (host_put(packed), host_put(exc_pos),
+            host_put(exc_ad), host_put(exc_dp))
 
 
 def _decode_vals(vals):
@@ -1144,7 +1145,7 @@ def _native_device_args(probe):
     n_cexc = int(nat.delta_encode_cols(p(cols, i32p), target, None,
                                        None, None, 0))
     if n_cexc >= 0.25 * target:     # mirror _encode_cols_delta
-        cols_dev = jnp.asarray(cols)
+        cols_dev = host_put(cols)
     else:
         deltas = np.empty(target, np.uint8)
         cexc_pos = np.empty(n_cexc, np.int32)
@@ -1160,11 +1161,11 @@ def _native_device_args(probe):
         cexc_pos, cexc_val = _pad_pow2_idempotent(
             cexc_pos, cexc_val,
             empty_values=(np.int32(deltas[0]),))
-        cols_dev = (jnp.asarray(deltas), jnp.asarray(cexc_pos),
-                    jnp.asarray(cexc_val))
+        cols_dev = (host_put(deltas), host_put(cexc_pos),
+                    host_put(cexc_val))
 
-    vals_dev = (jnp.asarray(vals), jnp.asarray(vexc_pos),
-                jnp.asarray(vexc_ad), jnp.asarray(vexc_dp))
+    vals_dev = (host_put(vals), host_put(vexc_pos),
+                host_put(vexc_ad), host_put(vexc_dp))
     return jnp.asarray(row_ptr), cols_dev, vals_dev, True
 
 
@@ -1182,7 +1183,7 @@ def _encode_cols_delta(cols):
     small = (d >= 0) & (d < 256)
     n_exc = int((~small).sum())
     if n_exc >= 0.25 * len(cols):
-        return jnp.asarray(cols.astype(np.int32))
+        return host_put(cols.astype(np.int32))
     deltas = np.where(small, d, 0).astype(np.uint8)
     exc_pos = np.flatnonzero(~small).astype(np.int32)
     exc_val = d[~small].astype(np.int32)
@@ -1199,8 +1200,8 @@ def _encode_cols_delta(cols):
                                   np.full(reps, exc_pos[0], np.int32)])
         exc_val = np.concatenate([exc_val,
                                   np.full(reps, exc_val[0], np.int32)])
-    return (jnp.asarray(deltas), jnp.asarray(exc_pos),
-            jnp.asarray(exc_val))
+    return (host_put(deltas), host_put(exc_pos),
+            host_put(exc_val))
 
 
 def _decode_cols(cols):
