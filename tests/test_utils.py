@@ -200,3 +200,28 @@ def test_host_fetch_parallel_exact(monkeypatch):
     monkeypatch.setenv("VIREO_FETCH_STREAMS", "0")
     x = jnp.asarray(rng.rand(100, 5))
     np.testing.assert_array_equal(F.host_fetch(x), np.asarray(x))
+
+
+def test_host_put_roundtrip(monkeypatch):
+    """host_put (concurrent upload streams) is value- and dtype-
+    equivalent to jnp.asarray for 1-D/2-D arrays, small arrays, and
+    the disabled path."""
+    import numpy as np
+    import jax.numpy as jnp
+    from vireo_tpu.utils import fetch as F
+
+    rng = np.random.RandomState(0)
+    big = rng.randint(0, 127, size=(5 << 20,)).astype(np.int8)
+    mat = rng.rand(4096, 640)
+    small = rng.rand(7)
+
+    for x, dtype in ((big, None), (big, jnp.int8), (mat, jnp.float32),
+                     (mat, None), (small, None)):
+        got = F.host_put(x, dtype)
+        want = jnp.asarray(x) if dtype is None else jnp.asarray(x, dtype)
+        assert got.dtype == want.dtype
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    monkeypatch.setenv("VIREO_PUT_STREAMS", "1")
+    got = F.host_put(big)
+    np.testing.assert_array_equal(np.asarray(got), big)
